@@ -1,0 +1,21 @@
+"""Test harness: force CPU with 8 virtual devices so multi-chip sharding logic
+is exercised without TPU hardware (the driver's dryrun does the same).
+
+jax may already be imported by a pytest plugin before this file runs, so the
+platform is forced through jax.config (which wins over the JAX_PLATFORMS env
+default captured at import time) in addition to the env vars.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert all(d.platform == "cpu" for d in jax.devices()), jax.devices()

@@ -1,0 +1,230 @@
+"""Frozen parameter dataclasses and the named parameter-set registry.
+
+TPU-native port of the reference's parameter layer:
+- single-key scheme parameters (3-gen-mk-tfhe/src/api.jl:4-115),
+- 3rd-gen multikey parameters (3-gen-mk-tfhe/src/mk_api.jl:32-322),
+- the C++ libthfhe gate-bootstrapping parameter set with n = N = 1024
+  (src/libthfhe.cpp:316-338).
+
+All parameters are static Python values: they shape traced computations and are
+hashable so jitted functions can close over them.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class LweParams:
+    size: int  # n, the LWE mask length
+
+
+@dataclass(frozen=True)
+class RLweParams:
+    polynomial_degree: int  # N, a power of two
+    mask_size: int  # k, number of mask polynomials
+    bits: int = 32  # torus width: 32 or 64 (reference `is32` flag, rlwe.jl:5)
+
+    @property
+    def torus_dtype(self):
+        return np.int32 if self.bits == 32 else np.int64
+
+
+@dataclass(frozen=True)
+class TGswParams:
+    """Gadget decomposition parameters (3-gen-mk-tfhe/src/tgsw.jl:10-33)."""
+
+    decomp_length: int  # l
+    log2_base: int  # log2(B)
+    bits: int = 32  # torus width of the decomposed samples
+
+    @property
+    def gadget_values(self) -> tuple:
+        """1/B^i on the torus, i = 1..l, as python ints (mod 2^bits, signed)."""
+        vals = []
+        for i in range(1, self.decomp_length + 1):
+            shift = self.bits - i * self.log2_base
+            v = (1 << shift) if shift >= 0 else 0
+            vals.append(_signed(v, self.bits))
+        return tuple(vals)
+
+    @property
+    def offset(self) -> int:
+        """Decomposition offset: B/2 * sum(gadget values), wrapped to signed."""
+        total = sum((1 << (self.bits - i * self.log2_base)) if self.bits - i * self.log2_base >= 0 else 0
+                    for i in range(1, self.decomp_length + 1))
+        off = (total * (1 << (self.log2_base - 1))) % (1 << self.bits)
+        return _signed(off, self.bits)
+
+
+@dataclass(frozen=True)
+class KeyswitchParams:
+    decomp_length: int  # t (digits per coefficient)
+    log2_base: int  # log2(base)
+
+
+def _signed(v: int, bits: int) -> int:
+    v %= 1 << bits
+    return v - (1 << bits) if v >= 1 << (bits - 1) else v
+
+
+@dataclass(frozen=True)
+class SchemeParams:
+    """Single-key TFHE scheme parameters (api.jl:4-25 ``SchemeParameters``)."""
+
+    lwe_size: int
+    lwe_noise_stddev: float
+
+    rlwe_polynomial_degree: int
+    rlwe_mask_size: int
+    rlwe_bits: int
+
+    bs_decomp_length: int
+    bs_log2_base: int
+    bs_noise_stddev: float
+
+    ks_decomp_length: int
+    ks_log2_base: int
+    ks_noise_stddev: float
+
+    max_parties: int = 1
+
+    @property
+    def lwe(self) -> LweParams:
+        return LweParams(self.lwe_size)
+
+    @property
+    def rlwe(self) -> RLweParams:
+        return RLweParams(self.rlwe_polynomial_degree, self.rlwe_mask_size, self.rlwe_bits)
+
+    @property
+    def tgsw(self) -> TGswParams:
+        return TGswParams(self.bs_decomp_length, self.bs_log2_base, self.rlwe_bits)
+
+    @property
+    def ks(self) -> KeyswitchParams:
+        return KeyswitchParams(self.ks_decomp_length, self.ks_log2_base)
+
+    @property
+    def extracted_lwe(self) -> LweParams:
+        """LWE params of samples extracted from RLWE (size = k * N)."""
+        return LweParams(self.rlwe_polynomial_degree * self.rlwe_mask_size)
+
+
+def tfhe_parameters_80(rlwe_mask_size: int = 1) -> SchemeParams:
+    """~80-bit security CGGI parameters (api.jl:76-97)."""
+    return SchemeParams(
+        500, 1 / 2**15 * math.sqrt(2 / math.pi),
+        1024, rlwe_mask_size, 32,
+        2, 10, 9e-9 * math.sqrt(2 / math.pi),
+        8, 2, 1 / 2**15 * math.sqrt(2 / math.pi),
+    )
+
+
+def tfhe_parameters_128(rlwe_mask_size: int = 1) -> SchemeParams:
+    """~128-bit security CGGI2019 parameters (api.jl:100-115)."""
+    return SchemeParams(
+        630, 1 / 2**15,
+        1024, rlwe_mask_size, 32,
+        3, 7, 1 / 2**25,
+        8, 2, 1 / 2**15,
+    )
+
+
+def thfhe_parameters_1024() -> SchemeParams:
+    """C++ libthfhe parameter set with n = N = 1024 so the LWE key maps 1:1 to a
+    degree-1024 TLWE key (src/libthfhe.cpp:316-338; ks 8x2, bk l=3 Bg=2^7)."""
+    return SchemeParams(
+        1024, 2**-15,
+        1024, 1, 32,
+        3, 7, 2**-25,
+        8, 2, 2**-15,
+    )
+
+
+# Small parameter sets for fast unit tests (not secure; same structure).
+def test_parameters(n: int = 16, N: int = 64, bits: int = 32) -> SchemeParams:
+    return SchemeParams(
+        n, 2**-15,
+        N, 1, bits,
+        3, 7, 2**-25,
+        8, 2, 2**-15,
+    )
+
+
+@dataclass(frozen=True)
+class SchemeParams3Gen:
+    """3rd-gen (AKO) multikey TFHE parameters (api.jl:52-67 SchemeParameters_3gen)."""
+
+    lwe_size: int
+    lwe_noise_stddev: float
+
+    rlwe_polynomial_degree: int
+    rlwe_mask_size: int
+    rlwe_bits: int
+
+    gsw_decomp_length: int
+    gsw_log2_base: int
+    gsw_noise_stddev: float
+
+    ks_decomp_length: int
+    ks_log2_base: int
+    ks_noise_stddev: float
+
+    max_parties: int
+
+    @property
+    def lwe(self) -> LweParams:
+        return LweParams(self.lwe_size)
+
+    @property
+    def rlwe(self) -> RLweParams:
+        return RLweParams(self.rlwe_polynomial_degree, self.rlwe_mask_size, self.rlwe_bits)
+
+    @property
+    def tgsw(self) -> TGswParams:
+        return TGswParams(self.gsw_decomp_length, self.gsw_log2_base, self.rlwe_bits)
+
+    @property
+    def ks(self) -> KeyswitchParams:
+        return KeyswitchParams(self.ks_decomp_length, self.ks_log2_base)
+
+
+def mktfhe_parameters_2party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:32-38."""
+    return SchemeParams3Gen(520, 2**-13.52, 1024, 1, 64, 2, 7, 2**-30.70, 3, 3, 2**-13.52, 2)
+
+
+def mktfhe_parameters_4party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:84-90."""
+    return SchemeParams3Gen(510, 2**-13.26, 1024, 1, 64, 3, 6, 2**-30.70, 5, 2, 2**-13.26, 4)
+
+
+def mktfhe_parameters_8party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:140-146 (variant A)."""
+    return SchemeParams3Gen(540, 2**-14.04, 1024, 1, 64, 4, 4, 2**-30.70, 5, 2, 2**-14.04, 8)
+
+
+def mktfhe_parameters_16party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:214-220."""
+    return SchemeParams3Gen(590, 2**-15.34, 2048, 1, 64, 1, 26, 2**-62.0, 4, 3, 2**-15.34, 16)
+
+
+def test_parameters_3gen(parties: int = 2, n: int = 16, N: int = 64) -> SchemeParams3Gen:
+    """Tiny insecure 3gen parameter set for unit tests."""
+    return SchemeParams3Gen(n, 2**-13.52, N, 1, 64, 2, 7, 2**-30.70, 3, 3, 2**-13.52, parties)
+
+
+PARAMETER_REGISTRY = {
+    "tfhe_80": tfhe_parameters_80,
+    "tfhe_128": tfhe_parameters_128,
+    "thfhe_1024": thfhe_parameters_1024,
+    "mk_2party_3gen": mktfhe_parameters_2party_3gen,
+    "mk_4party_3gen": mktfhe_parameters_4party_3gen,
+    "mk_8party_3gen": mktfhe_parameters_8party_3gen,
+    "mk_16party_3gen": mktfhe_parameters_16party_3gen,
+}
