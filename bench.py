@@ -1,0 +1,79 @@
+"""North-star benchmark: bootsAND gate bootstraps per second on one chip.
+
+BASELINE.json target: >= 100k bootsAND/s on a v5e-8, i.e. 12.5k gates/s/chip;
+`vs_baseline` reports value / 12500 (per-chip share of the pod-slice target).
+The reference publishes no absolute numbers (BASELINE.md) — its own harness
+measures bootstrap time per gate on CPU (<0.1 s/gate upstream claim).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "gates/s", "vs_baseline": N/12500}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+PER_CHIP_TARGET = 12_500.0  # 100k / 8 chips
+
+
+def main() -> None:
+    from torus_fhe_tpu.boot import api, gates
+    from torus_fhe_tpu.core.params import tfhe_parameters_128
+
+    params = tfhe_parameters_128()
+    t0 = time.time()
+    sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params)
+    keygen_s = time.time() - t0
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    rng = np.random.default_rng(42)
+    xs = jnp.asarray(rng.integers(0, 2, B, dtype=np.int64) == 1)
+    ys = jnp.asarray(rng.integers(0, 2, B, dtype=np.int64) == 1)
+    cx = api.encrypt(jax.random.PRNGKey(1), sk, xs)
+    cy = api.encrypt(jax.random.PRNGKey(2), sk, ys)
+
+    step = jax.jit(gates.gate_and)
+
+    t0 = time.time()
+    out = step(ck, cx, cy)
+    out.b.block_until_ready()
+    compile_s = time.time() - t0
+
+    # correctness gate: don't benchmark garbage
+    dec = np.asarray(api.decrypt(sk, out))
+    want = np.asarray(xs) & np.asarray(ys)
+    assert np.array_equal(dec, want), "bootsAND decrypt mismatch"
+
+    # timed region
+    iters = 4
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(ck, cx, cy)
+    out.b.block_until_ready()
+    dt = time.time() - t0
+
+    gates_per_s = B * iters / dt
+    print(json.dumps({
+        "metric": "bootsAND_gates_per_sec_per_chip",
+        "value": round(gates_per_s, 2),
+        "unit": "gates/s",
+        "vs_baseline": round(gates_per_s / PER_CHIP_TARGET, 4),
+        "extra": {
+            "batch": B, "iters": iters, "wall_s": round(dt, 3),
+            "compile_s": round(compile_s, 2), "keygen_s": round(keygen_s, 2),
+            "params": "tfhe_128 (n=630, N=1024, k=1, l=3)",
+            "device": str(jax.devices()[0]),
+            "note": "target is 100k gates/s on v5e-8 => 12.5k/chip",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,11 +12,12 @@ reproduces the reference's `if a[i,j] != 0` noise-free skip exactly.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.tree_util import register_dataclass
 
 from ..core.params import KeyswitchParams, LweParams
 from ..core import rng as trng
@@ -24,10 +25,14 @@ from ..lwe import LweKey, LweSample
 from ..ops import poly
 
 
-class KeyswitchKey(NamedTuple):
+@dataclass
+class KeyswitchKey:
     mat: jax.Array  # (n_in * l * (base-1), (n_out + 1) * 4) int8 limb table
-    n_in: int
-    n_out: int
+    n_in: int = 0
+    n_out: int = 0
+
+
+register_dataclass(KeyswitchKey, data_fields=("mat",), meta_fields=("n_in", "n_out"))
 
 
 def keyswitch_keygen(key, alpha: float, params: KeyswitchParams,

@@ -16,6 +16,7 @@ import math
 from dataclasses import dataclass, field
 
 import numpy as np
+from jax.tree_util import register_static
 
 
 @dataclass(frozen=True)
@@ -217,6 +218,14 @@ def mktfhe_parameters_16party_3gen() -> SchemeParams3Gen:
 def test_parameters_3gen(parties: int = 2, n: int = 16, N: int = 64) -> SchemeParams3Gen:
     """Tiny insecure 3gen parameter set for unit tests."""
     return SchemeParams3Gen(n, 2**-13.52, N, 1, 64, 2, 7, 2**-30.70, 3, 3, 2**-13.52, parties)
+
+
+# Parameter dataclasses are hashable static metadata: registering them as
+# static pytree nodes lets keys/ciphertexts that carry them flow through
+# jit/pjit/shard_map without tracing them as arrays.
+for _cls in (LweParams, RLweParams, TGswParams, KeyswitchParams,
+             SchemeParams, SchemeParams3Gen):
+    register_static(_cls)
 
 
 PARAMETER_REGISTRY = {

@@ -9,6 +9,7 @@ complement, which XLA integer arithmetic provides for free on TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,10 +83,12 @@ def mod_switch_from_torus(phase, msize: int):
     """
     phase = jnp.asarray(phase)
     bits = torus_bits(phase.dtype)
-    uphase = phase.astype(jnp.uint64) & jnp.uint64((1 << bits) - 1)
-    interv = np.uint64((1 << bits) // msize)
-    half = jnp.uint64(interv // 2)
-    return ((uphase + half) // interv % jnp.uint64(msize)).astype(jnp.int32)
+    udt = jnp.uint32 if bits <= 32 else jnp.uint64
+    uphase = jax.lax.bitcast_convert_type(phase, udt)
+    interv = (1 << bits) // msize
+    half = jnp.asarray(interv // 2, udt)
+    return ((uphase + half) // jnp.asarray(interv, udt)
+            % jnp.asarray(msize, udt)).astype(jnp.int32)
 
 
 def noise_calc(m_torus, d_torus):

@@ -86,6 +86,17 @@ def rlwe_encrypt_zero(key, alpha: float, rlwe_key: RLweKey, params: RLweParams, 
     return RLweSample(jnp.asarray(np.concatenate([a_mask, body[..., None, :]], axis=-2)))
 
 
+def rlwe_encrypt(key, mu, alpha: float, rlwe_key: RLweKey, params: RLweParams,
+                 shape=()) -> RLweSample:
+    """Symmetric ring-LWE encryption of message polys ``mu`` (..., N):
+    zero-encryption plus mu on the body (tLweSymEncrypt; rlwe.jl homologue).
+    Used by the threshold tlwetn flow (src/TLwe_TN.cpp:57-65)."""
+    zero = rlwe_encrypt_zero(key, alpha, rlwe_key, params, shape)
+    dtype = zero.a.dtype
+    mu = jnp.broadcast_to(jnp.asarray(mu, dtype), shape + (params.polynomial_degree,))
+    return RLweSample(zero.a.at[..., -1, :].add(mu))
+
+
 def rlwe_noiseless_trivial(mu, params: RLweParams, shape=()) -> RLweSample:
     """(0, ..., 0, mu) (rlwe.jl:143-149). ``mu``: (..., N) torus polys."""
     dtype = jnp.int32 if params.bits == 32 else jnp.int64

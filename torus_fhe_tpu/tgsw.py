@@ -9,11 +9,13 @@ TransformedTGswSample plays for its FFT backend (tgsw.jl:47-55).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.tree_util import register_dataclass
 
 from .core.params import RLweParams, TGswParams
 from .ops import poly
@@ -26,7 +28,8 @@ class TGswSample(NamedTuple):
     samples: jax.Array  # (..., l, k+1, k+1, N) torus
 
 
-class PackedTGsw(NamedTuple):
+@dataclass
+class PackedTGsw:
     """MXU-ready TGSW: int8 limb kernels for `negacyclic_extern_product`.
 
     kernels: (..., (k+1) * n_limbs, l*(k+1), N) int8 — out-features first,
@@ -34,8 +37,12 @@ class PackedTGsw(NamedTuple):
     """
 
     kernels: jax.Array
-    bits: int
-    mask_size: int
+    bits: int = 32
+    mask_size: int = 1
+
+
+register_dataclass(PackedTGsw, data_fields=("kernels",),
+                   meta_fields=("bits", "mask_size"))
 
 
 def tgsw_encrypt(key, messages, alpha: float, rlwe_key: RLweKey,
