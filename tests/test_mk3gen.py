@@ -1,0 +1,110 @@
+"""3rd-gen multikey TFHE tests.
+
+Models the reference's MK test (3-gen-mk-tfhe/test/runtests.jl:62-102 adapted
+to the AKÖ scheme) and the multikey_3gen.jl demo: full keygen pipeline →
+encrypted gates → integer adder, parties simulated in-process as array
+indices. Tiny insecure parameters keep CPU runs fast."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torus_fhe_tpu import mk
+from torus_fhe_tpu.core.params import test_parameters_3gen as params_3gen
+from torus_fhe_tpu.mk import gates3gen
+
+PARAMS = params_3gen(parties=2, n=16, N=64)
+
+
+@pytest.fixture(scope="module")
+def keys():
+    sks = [mk.mk_party_keygen(jax.random.PRNGKey(10 + p), PARAMS)
+           for p in range(2)]
+    ck = mk.mk_cloud_keygen(jax.random.PRNGKey(0), sks, PARAMS)
+    return sks, ck
+
+
+def test_mk_encrypt_decrypt_roundtrip(keys):
+    sks, _ = keys
+    lwe_keys = [sk.lwe for sk in sks]
+    msgs = jnp.array([True, False, True, True, False])
+    ct = mk.mk_encrypt(jax.random.PRNGKey(1), lwe_keys, msgs, PARAMS)
+    dec = np.asarray(mk.mk_decrypt(lwe_keys, ct))
+    np.testing.assert_array_equal(dec, np.asarray(msgs))
+
+
+def test_common_pubkey_is_sum_encryption():
+    """b − (Σ_p s_p) ⊛ a must be small noise (the common-key invariant)."""
+    from torus_fhe_tpu.ops import hostmath
+
+    sks = [mk.mk_party_keygen(jax.random.PRNGKey(20 + p), PARAMS) for p in range(2)]
+    crp = mk.gen_crp(jax.random.PRNGKey(2), PARAMS)
+    pubs = [mk.public_keygen(jax.random.PRNGKey(30 + p), sk.rlwe, crp, PARAMS)
+            for p, sk in enumerate(sks)]
+    common = mk.common_public_key(pubs)
+    s_total = sum(np.asarray(jax.device_get(sk.rlwe.key[0])) for sk in sks)
+    prod = hostmath.negacyclic_polymul_host(
+        s_total, np.asarray(jax.device_get(crp.a)), PARAMS.rlwe_bits)
+    noise = np.asarray(jax.device_get(common.b)) - prod
+    assert np.abs(noise.astype(np.float64) / 2.0**64).max() < 1e-6
+
+
+def test_mk_gates_truth_tables(keys):
+    sks, ck = keys
+    lwe_keys = [sk.lwe for sk in sks]
+    xs = jnp.array([False, False, True, True])
+    ys = jnp.array([False, True, False, True])
+    cx = mk.mk_encrypt(jax.random.PRNGKey(3), lwe_keys, xs, PARAMS)
+    cy = mk.mk_encrypt(jax.random.PRNGKey(4), lwe_keys, ys, PARAMS)
+    plain = {"nand": lambda a, b: ~(a & b), "or": lambda a, b: a | b,
+             "and": lambda a, b: a & b, "xor": lambda a, b: a ^ b}
+    for name, gate in gates3gen.BINARY_GATES.items():
+        out = gate(ck, cx, cy)
+        dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
+        np.testing.assert_array_equal(dec, plain[name](np.asarray(xs), np.asarray(ys)), name)
+
+
+def test_mk_3and_and_not(keys):
+    sks, ck = keys
+    lwe_keys = [sk.lwe for sk in sks]
+    xs = jnp.array([True, True, False, True])
+    ys = jnp.array([True, False, True, True])
+    zs = jnp.array([True, True, True, False])
+    cx = mk.mk_encrypt(jax.random.PRNGKey(5), lwe_keys, xs, PARAMS)
+    cy = mk.mk_encrypt(jax.random.PRNGKey(6), lwe_keys, ys, PARAMS)
+    cz = mk.mk_encrypt(jax.random.PRNGKey(7), lwe_keys, zs, PARAMS)
+    out = gates3gen.mk_gate_3and(ck, cx, cy, cz)
+    dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
+    np.testing.assert_array_equal(dec, np.asarray(xs) & np.asarray(ys) & np.asarray(zs))
+    notx = gates3gen.mk_gate_not(ck, cx)
+    np.testing.assert_array_equal(np.asarray(mk.mk_decrypt(lwe_keys, notx)),
+                                  ~np.asarray(xs))
+
+
+def test_mk_int_add(keys):
+    """8-bit encrypted adder trials (multikey_3gen.jl:64-92)."""
+    sks, ck = keys
+    lwe_keys = [sk.lwe for sk in sks]
+    WIDTH = 8
+    m1, m2 = 7, 9
+    c1 = mk.mk_int_encrypt(jax.random.PRNGKey(8), lwe_keys, m1, WIDTH, PARAMS)
+    c2 = mk.mk_int_encrypt(jax.random.PRNGKey(9), lwe_keys, m2, WIDTH, PARAMS)
+    assert int(mk.mk_int_decrypt(lwe_keys, c1, WIDTH)) == m1
+    assert int(mk.mk_int_decrypt(lwe_keys, c2, WIDTH)) == m2
+    zero = mk.mk_encrypt(jax.random.PRNGKey(11), lwe_keys, jnp.asarray(False), PARAMS)
+    total = gates3gen.mk_add(ck, c1, c2, zero, WIDTH)
+    assert int(mk.mk_int_decrypt(lwe_keys, total, WIDTH)) == m1 + m2
+
+
+def test_mk_comparator(keys):
+    sks, ck = keys
+    lwe_keys = [sk.lwe for sk in sks]
+    WIDTH = 4
+    c1 = mk.mk_int_encrypt(jax.random.PRNGKey(12), lwe_keys, 3, WIDTH, PARAMS)
+    c2 = mk.mk_int_encrypt(jax.random.PRNGKey(13), lwe_keys, 6, WIDTH, PARAMS)
+    one = mk.mk_encrypt(jax.random.PRNGKey(14), lwe_keys, jnp.asarray(True), PARAMS)
+    less = gates3gen.mk_less(ck, c1, c2, one, WIDTH)
+    assert bool(np.asarray(mk.mk_decrypt(lwe_keys, less)))
+    grt = gates3gen.mk_greater(ck, c1, c2, one, WIDTH)
+    assert not bool(np.asarray(mk.mk_decrypt(lwe_keys, grt)))

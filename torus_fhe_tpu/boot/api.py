@@ -48,11 +48,22 @@ def make_cloud_key(key, secret_key: SecretKey) -> CloudKey:
     return CloudKey(params, bk, ks)
 
 
-def make_key_pair(key, params: SchemeParams):
-    """(secret, cloud) pair (api.jl:252-259)."""
-    k1, k2 = jax.random.split(key)
-    sk = make_secret_key(k1, params)
-    ck = make_cloud_key(k2, sk)
+def make_key_pair(key, params: SchemeParams, device=None):
+    """(secret, cloud) pair (api.jl:252-259).
+
+    Keygen runs on the host CPU backend (cheap, avoids per-op round-trips to
+    remote accelerators) and ships the finished keys to ``device`` (default:
+    the default accelerator) in one transfer.
+    """
+    from ..utils.device import on_host, to_device
+
+    with on_host():
+        k1, k2 = jax.random.split(key)
+        sk = make_secret_key(k1, params)
+        ck = make_cloud_key(k2, sk)
+    if jax.devices()[0].platform != "cpu":
+        sk = to_device(sk, device)
+        ck = to_device(ck, device)
     return sk, ck
 
 

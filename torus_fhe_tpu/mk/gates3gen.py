@@ -1,0 +1,202 @@
+"""3rd-gen multikey bootstrapped gates and integer circuits, batch-first.
+
+TPU-native rework of 3-gen-mk-tfhe/src/3gen_mk_gates.jl. Gates are one affine
+combination of MK ciphertext batches plus one multikey bootstrap; the integer
+circuits (ripple adders, comparators, shift-add multiplier, conv2d) mirror the
+reference's topology with the bit-position loops kept sequential (carry chain)
+and everything else batched.
+
+Word layout: an encrypted integer is one MKLweSample whose LEADING axis is the
+bit position (width, ..., parties, n), LSB first — the reference's
+Vector{MKLweSample} (mk_api.jl:576-589) turned into an array axis so whole
+vectors of integers bootstrap together.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.torus import encode_message
+from .boot3gen import mk_bootstrap
+from .keys3gen import MKCloudKey
+from .samples import MKLweSample, mk_lwe_noiseless_trivial
+
+
+def _trivial_like(ck: MKCloudKey, x: MKLweSample, mu):
+    return mk_lwe_noiseless_trivial(mu, ck.params.lwe, ck.parties, x.b.shape)
+
+
+def _mu(ck):
+    dtype = jnp.int32 if ck.params.rlwe_bits == 32 else jnp.int64
+    return encode_message(1, 8, dtype)
+
+
+def mk_gate_nand(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:
+    t = _trivial_like(ck, x, encode_message(1, 8)) - x - y
+    return mk_bootstrap(ck, _mu(ck), t)
+
+
+def mk_gate_or(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:
+    t = _trivial_like(ck, x, encode_message(1, 8)) + x + y
+    return mk_bootstrap(ck, _mu(ck), t)
+
+
+def mk_gate_and(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:
+    t = _trivial_like(ck, x, encode_message(-1, 8)) + x + y
+    return mk_bootstrap(ck, _mu(ck), t)
+
+
+def mk_gate_3and(ck: MKCloudKey, x, y, z) -> MKLweSample:
+    """3-input AND in one bootstrap (3gen_mk_gates.jl:56-66)."""
+    t = _trivial_like(ck, x, encode_message(-1, 4)) + x + y + z
+    return mk_bootstrap(ck, _mu(ck), t)
+
+
+def mk_gate_xor(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:
+    t = _trivial_like(ck, x, encode_message(1, 4)) + (x + y).scale(2)
+    return mk_bootstrap(ck, _mu(ck), t)
+
+
+def mk_gate_not(ck: MKCloudKey, x: MKLweSample) -> MKLweSample:
+    return -x
+
+
+def mk_gate_mux(ck: MKCloudKey, x, y, z) -> MKLweSample:
+    """MUX(x, y, z) = x ? y : z — two bootstraps + combine (the reference's
+    commented variant, 3gen_mk_gates.jl:93-150, normalised like gates.jl)."""
+    from .boot3gen import mk_bootstrap_wo_keyswitch, mk_keyswitch
+
+    u1 = mk_bootstrap_wo_keyswitch(
+        ck, _mu(ck), _trivial_like(ck, x, encode_message(-1, 8)) + x + y)
+    u2 = mk_bootstrap_wo_keyswitch(
+        ck, _mu(ck), _trivial_like(ck, x, encode_message(-1, 8)) - x + z)
+    from ..lwe import LweSample
+
+    t3 = LweSample(u1.a + u2.a, u1.b + u2.b + encode_message(1, 8))
+    return mk_keyswitch(ck, t3)
+
+
+BINARY_GATES = {"nand": mk_gate_nand, "or": mk_gate_or, "and": mk_gate_and,
+                "xor": mk_gate_xor}
+
+
+# ---------------------------------------------------------------------------
+# Integer circuits (bit axis = leading axis, LSB first)
+# ---------------------------------------------------------------------------
+
+
+def _bit(x: MKLweSample, i: int) -> MKLweSample:
+    return MKLweSample(x.a[i], x.b[i])
+
+
+def _stack_bits(bits) -> MKLweSample:
+    return MKLweSample(jnp.stack([b.a for b in bits]), jnp.stack([b.b for b in bits]))
+
+
+def mk_add(ck: MKCloudKey, a: MKLweSample, b: MKLweSample, cin: MKLweSample,
+           width: int, with_carry: bool = False) -> MKLweSample:
+    """Ripple-carry adder (mk_add_3gen, 3gen_mk_gates.jl:183-200): per bit,
+    XOR/AND halves batched into one two-gate bootstrap by concatenation."""
+    out = []
+    carry = cin
+    for i in range(width):
+        ai, bi = _bit(a, i), _bit(b, i)
+        tmp1 = mk_gate_xor(ck, ai, bi)
+        tmp2 = mk_gate_and(ck, ai, bi)
+        out.append(mk_gate_xor(ck, tmp1, carry))
+        tmp3 = mk_gate_and(ck, tmp1, carry)
+        carry = mk_gate_or(ck, tmp2, tmp3)
+    if with_carry:
+        out.append(carry)
+    return _stack_bits(out)
+
+
+def mk_inv(ck: MKCloudKey, a: MKLweSample, one: MKLweSample, width: int) -> MKLweSample:
+    """Bitwise NOT via XOR with an encrypted 1 (mk_inv_3gen,
+    3gen_mk_gates.jl:223-234): all bits in ONE batched bootstrap."""
+    ones = MKLweSample(jnp.broadcast_to(one.a, a.a.shape),
+                       jnp.broadcast_to(one.b, a.b.shape))
+    return mk_gate_xor(ck, a, ones)
+
+
+def mk_sub(ck: MKCloudKey, a, b, one, width: int) -> MKLweSample:
+    """a - b = a + ~b + 1 (mk_sub_3gen, 3gen_mk_gates.jl:237-245)."""
+    return mk_add(ck, a, mk_inv(ck, b, one, width), one, width)
+
+
+def mk_less(ck: MKCloudKey, a, b, one, width: int) -> MKLweSample:
+    """a < b = sign(a - b) (mk_less_3gen, 3gen_mk_gates.jl:248-256)."""
+    return _bit(mk_sub(ck, a, b, one, width), width - 1)
+
+
+def mk_greater(ck: MKCloudKey, a, b, one, width: int) -> MKLweSample:
+    return _bit(mk_sub(ck, b, a, one, width), width - 1)
+
+
+def mk_leq(ck: MKCloudKey, a, b, one, width: int) -> MKLweSample:
+    return mk_gate_xor(ck, mk_greater(ck, a, b, one, width), one)
+
+
+def mk_geq(ck: MKCloudKey, a, b, one, width: int) -> MKLweSample:
+    return mk_gate_xor(ck, mk_less(ck, a, b, one, width), one)
+
+
+def mk_int_mul(ck: MKCloudKey, a, b, zero: MKLweSample, width: int) -> MKLweSample:
+    """Shift-add multiplier, low ``width`` bits (mk_int_mul_3gen,
+    3gen_mk_gates.jl:291-362). Partial products batch into one bootstrap."""
+    # BArr[i, j] = a_j AND b_i — all width*width gates in one bootstrap
+    aa = MKLweSample(jnp.broadcast_to(a.a[None], (width,) + a.a.shape),
+                     jnp.broadcast_to(a.b[None], (width,) + a.b.shape))
+    bb = MKLweSample(jnp.broadcast_to(b.a[:, None], (width,) + a.a.shape),
+                     jnp.broadcast_to(b.b[:, None], (width,) + a.b.shape))
+    barr = mk_gate_and(ck, aa, bb)  # (width_b, width_a, ...)
+
+    result = [MKLweSample(barr.a[0, 0], barr.b[0, 0])]
+    tmp_in = [MKLweSample(barr.a[0, j + 1], barr.b[0, j + 1]) for j in range(width - 1)]
+    tmp_in.append(zero)
+    ctr = 0
+    for i in range(1, width - 1):
+        row = [MKLweSample(barr.a[i, j], barr.b[i, j]) for j in range(width)]
+        tmp = mk_add(ck, _stack_bits(tmp_in), _stack_bits(row), zero, width,
+                     with_carry=True)
+        result.append(_bit(tmp, 0))
+        tmp_in = [_bit(tmp, j + 1) for j in range(width)]
+        ctr = i
+    row = [MKLweSample(barr.a[ctr, j], barr.b[ctr, j]) for j in range(width)]
+    tmp = mk_add(ck, _stack_bits(tmp_in), _stack_bits(row), zero, width,
+                 with_carry=True)
+    for i in range(width + 1):
+        if len(result) < 2 * width:
+            result.append(_bit(tmp, i))
+    return _stack_bits(result[:width])
+
+
+def mk_conv2d(ck: MKCloudKey, image, kernels, zero: MKLweSample, stride: int,
+              width: int) -> MKLweSample:
+    """Encrypted integer conv2d (enc_conv2d, 3gen_mk_gates.jl:364-397).
+
+    image: MKLweSample with axes (H, W, width, parties, n) per pixel word;
+    kernels: (C, KH, KW, width, ...). Batches every (channel, out-pixel,
+    kernel-tap) multiply into wide words, then tree-adds.
+    """
+    H, W = image.a.shape[0], image.a.shape[1]
+    C, KH, KW = kernels.a.shape[0], kernels.a.shape[1], kernels.a.shape[2]
+    OH = (H - KH) // stride + 1
+    OW = (W - KW) // stride + 1
+    outs = []
+    for c in range(C):
+        for i in range(OH):
+            row = []
+            for j in range(OW):
+                acc = None
+                for m in range(KH):
+                    for nn in range(KW):
+                        px = MKLweSample(image.a[i * stride + m, j * stride + nn],
+                                         image.b[i * stride + m, j * stride + nn])
+                        kv = MKLweSample(kernels.a[c, m, nn], kernels.b[c, m, nn])
+                        prod = mk_int_mul(ck, px, kv, zero, width)
+                        acc = prod if acc is None else mk_add(ck, acc, prod, zero, width)
+                row.append(acc)
+            outs.append(row)
+    return outs
