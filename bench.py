@@ -24,10 +24,20 @@ PER_CHIP_TARGET = 12_500.0  # 100k / 8 chips
 
 
 def main() -> None:
-    from torus_fhe_tpu.boot import api, gates
-    from torus_fhe_tpu.core.params import tfhe_parameters_128
+    import os
 
-    params = tfhe_parameters_128()
+    # persistent XLA compilation cache: the bootstrap scan compiles in
+    # minutes on this toolchain, once
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from torus_fhe_tpu.boot import api, gates
+    from torus_fhe_tpu.core.params import tfhe_parameters_128_tpu
+
+    params = tfhe_parameters_128_tpu()
     t0 = time.time()
     sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params)
     keygen_s = time.time() - t0
@@ -68,7 +78,7 @@ def main() -> None:
         "extra": {
             "batch": B, "iters": iters, "wall_s": round(dt, 3),
             "compile_s": round(compile_s, 2), "keygen_s": round(keygen_s, 2),
-            "params": "tfhe_128 (n=630, N=1024, k=1, l=3)",
+            "params": "tfhe_128_tpu (n=630, N=1024, k=1, l=3, bk-1limb)",
             "device": str(jax.devices()[0]),
             "note": "target is 100k gates/s on v5e-8 => 12.5k/chip",
         },

@@ -11,11 +11,11 @@ import numpy as np
 import pytest
 
 from torus_fhe_tpu.boot import api, gates
-from torus_fhe_tpu.core.params import test_parameters
+from torus_fhe_tpu.core.params import test_parameters as make_test_params
 from torus_fhe_tpu.lwe import lwe_phase
 
 
-PARAMS = test_parameters(n=32, N=64)
+PARAMS = make_test_params(n=32, N=64)
 
 PLAIN_OPS = {
     "nand": lambda a, b: ~(a & b), "or": lambda a, b: a | b,
@@ -93,3 +93,22 @@ def test_gate_chain(keys):
     dec = np.asarray(api.decrypt(sk, s2))
     want = np.asarray(xs) & ~np.asarray(ys)
     assert np.array_equal(dec, want)
+
+
+def test_gates_with_bk_compression():
+    """bk_drop_limbs=1 (BK byte truncation) must still decrypt correctly —
+    the added noise sits far below the decomposition floor."""
+    import dataclasses
+
+    params = dataclasses.replace(PARAMS, bk_drop_limbs=1)
+    sk, ck = api.make_key_pair(jax.random.PRNGKey(77), params)
+    xs = jnp.array([False, False, True, True])
+    ys = jnp.array([False, True, False, True])
+    cx = api.encrypt(jax.random.PRNGKey(1), sk, xs)
+    cy = api.encrypt(jax.random.PRNGKey(2), sk, ys)
+    out = gates.gate_and(ck, cx, cy)
+    assert np.array_equal(np.asarray(api.decrypt(sk, out)),
+                          np.asarray(xs) & np.asarray(ys))
+    out = gates.gate_xor(ck, cx, cy)
+    assert np.array_equal(np.asarray(api.decrypt(sk, out)),
+                          np.asarray(xs) ^ np.asarray(ys))

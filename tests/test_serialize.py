@@ -1,0 +1,43 @@
+"""Serialization round-trips: the cloud/client file workflow
+(src/KeyGen.cpp -> test/ -> src/Compute.cpp -> src/Decrypt.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torus_fhe_tpu.boot import api, gates
+from torus_fhe_tpu.core.params import test_parameters as make_test_params
+from torus_fhe_tpu.threshold import shares as sh
+from torus_fhe_tpu.utils import serialize as ser
+
+PARAMS = make_test_params(n=16, N=64)
+
+
+def test_key_and_ciphertext_roundtrip(tmp_path):
+    sk, ck = api.make_key_pair(jax.random.PRNGKey(0), PARAMS)
+    msgs = jnp.array([True, False, True])
+    ct = api.encrypt(jax.random.PRNGKey(1), sk, msgs)
+
+    ser.save_secret_key(str(tmp_path / "secret.key"), sk)
+    ser.save_cloud_key(str(tmp_path / "cloud.key"), ck)
+    ser.save_lwe(str(tmp_path / "ct.data"), ct)
+
+    sk2 = ser.load_secret_key(str(tmp_path / "secret.key"))
+    ck2 = ser.load_cloud_key(str(tmp_path / "cloud.key"))
+    ct2 = ser.load_lwe(str(tmp_path / "ct.data"))
+
+    assert sk2.params == PARAMS
+    np.testing.assert_array_equal(np.asarray(api.decrypt(sk2, ct2)), np.asarray(msgs))
+    # evaluate with the reloaded cloud key
+    out = gates.gate_and(ck2, ct2, ct2)
+    np.testing.assert_array_equal(np.asarray(api.decrypt(sk2, out)), np.asarray(msgs))
+
+
+def test_share_set_roundtrip(tmp_path):
+    key = np.random.default_rng(0).integers(0, 2, (1, 32)).astype(np.int32)
+    repo = sh.share_secret_streaming(key, 2, 4, jax.random.PRNGKey(2))
+    ser.save_share_set(str(tmp_path / "shares.npz"), repo)
+    repo2 = ser.load_share_set(str(tmp_path / "shares.npz"))
+    assert repo2.t == 2 and repo2.p == 4
+    for k, v in repo.shares.items():
+        np.testing.assert_array_equal(repo2.shares[k], v)

@@ -36,7 +36,7 @@ def bootstrap_keygen(key, alpha: float, lwe_key: LweKey, rlwe_key: RLweKey,
                      params: SchemeParams) -> BootstrapKey:
     """TGSW-encrypt each LWE key bit under the RLWE key and pack for the MXU."""
     gsw = tgsw_encrypt(key, lwe_key.key, alpha, rlwe_key, params.tgsw, params.rlwe)
-    packed = pack_tgsw(gsw, params.tgsw)
+    packed = pack_tgsw(gsw, params.tgsw, getattr(params, "bk_drop_limbs", 0))
     return BootstrapKey(packed.kernels)
 
 
@@ -44,7 +44,8 @@ def mux_rotate(accum: RLweSample, kernels_i, barai, params: SchemeParams) -> RLw
     """accum += BK_i (*) [(X^bara_i - 1) * accum]  (bootstrap.jl:19-23)."""
     rotated = mul_by_monomial(accum, barai)
     temp = RLweSample(rotated.a - accum.a)
-    gsw = PackedTGsw(kernels_i, params.rlwe_bits, params.rlwe_mask_size)
+    gsw = PackedTGsw(kernels_i, params.rlwe_bits, params.rlwe_mask_size,
+                     getattr(params, "bk_drop_limbs", 0))
     delta = tgsw_extern_mul(temp, gsw, params.tgsw)
     return RLweSample(accum.a + delta.a)
 
@@ -84,13 +85,17 @@ def blind_rotate_and_extract(v, bk: BootstrapKey, barb, bara, params: SchemePara
 
 def bootstrap_wo_keyswitch(bk: BootstrapKey, mu, x: LweSample, params: SchemeParams) -> LweSample:
     """Mod-switch to Z_2N then blind-rotate the [mu...mu] test vector
-    (bootstrap.jl:75-88)."""
+    (bootstrap.jl:75-88). Accepts any leading batch shape (flattened for the
+    scan, restored on the output)."""
     N = params.rlwe_polynomial_degree
-    bara = decode_message(x.a, 2 * N).astype(jnp.int32)
-    barb = decode_message(x.b, 2 * N).astype(jnp.int32)
+    lead = x.b.shape
+    B = int(np.prod(lead)) if lead else 1
+    bara = decode_message(x.a, 2 * N).astype(jnp.int32).reshape(B, -1)
+    barb = decode_message(x.b, 2 * N).astype(jnp.int32).reshape(B)
     dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
     testvect = jnp.full((N,), mu, dtype)
-    return blind_rotate_and_extract(testvect, bk, barb, bara, params)
+    u = blind_rotate_and_extract(testvect, bk, barb, bara, params)
+    return LweSample(u.a.reshape(lead + u.a.shape[-1:]), u.b.reshape(lead))
 
 
 def bootstrap(bk: BootstrapKey, ks, mu, x: LweSample, params: SchemeParams) -> LweSample:

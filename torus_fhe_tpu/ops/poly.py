@@ -122,18 +122,26 @@ def negacyclic_polymul_ref(a, b):
 # ---------------------------------------------------------------------------
 
 
-def pack_kernels_host(kernels: np.ndarray, bits: int) -> np.ndarray:
+def pack_kernels_host(kernels: np.ndarray, bits: int, drop_limbs: int = 0) -> np.ndarray:
     """Prepare torus kernels for the conv backend.
 
     kernels: (..., R, C, N) torus ints (numpy). Returns int8 array of shape
-    (..., C * n_limbs, R, N) — conv rhs layout (out-features, in-features,
-    window) with the window axis FLIPPED so that XLA's correlation computes a
-    true convolution.
+    (..., C * (n_limbs - drop_limbs), R, N) — conv rhs layout (out-features,
+    in-features, window) with the window axis FLIPPED so that XLA's
+    correlation computes a true convolution.
+
+    ``drop_limbs``: truncate the lowest 8*drop_limbs bits of every kernel
+    (bootstrapping-key compression). The discarded bits act as extra uniform
+    key noise of magnitude < 2^(8*drop_limbs) per coefficient — far below the
+    gadget-decomposition floor for the shipped parameter sets — and cut the
+    matmul work by drop_limbs/n_limbs.
     """
     limbs = limb_split_signed_host(kernels, bits)  # (..., R, C, N, L)
-    limbs = np.moveaxis(limbs, -1, -2)  # (..., R, C, L, N)
+    if drop_limbs:
+        limbs = limbs[..., drop_limbs:]
+    limbs = np.moveaxis(limbs, -1, -2)  # (..., R, C, L', N)
     limbs = limbs[..., ::-1]  # flip window axis for XLA's correlation
-    limbs = np.moveaxis(limbs, -4, -2)  # (..., C, L, R, N)
+    limbs = np.moveaxis(limbs, -4, -2)  # (..., C, L', R, N)
     shape = limbs.shape
     return np.ascontiguousarray(
         limbs.reshape(shape[:-4] + (shape[-4] * shape[-3], shape[-2], shape[-1])))
@@ -198,19 +206,25 @@ def _matmul_backend(digits, packed, bits):
     return out.reshape(B, CL, N)
 
 
-def negacyclic_extern_product(digits, packed, bits: int, out_polys: int):
+def negacyclic_extern_product(digits, packed, bits: int, out_polys: int,
+                              limb_offset: int = 0):
     """out[b, c] = sum_r digits[b, r] (*) kernels[r, c]  (negacyclic, exact).
 
     digits: (B, R, N) int8 gadget digits (|d| <= 127).
-    packed: (C * n_limbs(bits), R, N) int8 from `pack_kernels_host`.
+    packed: (C * (n_limbs(bits) - limb_offset), R, N) int8 from
+    `pack_kernels_host` (``limb_offset`` = its drop_limbs).
     Returns (B, C, N) torus ints (int32 for bits=32, int64 for bits=64).
     """
     backend = _conv_backend if _BACKEND == "conv" else _matmul_backend
-    folded = backend(digits, packed, bits)  # (B, C*L, N) int32
+    folded = backend(digits, packed, bits)  # (B, C*L', N) int32
     B, _, N = folded.shape
-    L = n_limbs_for(bits)
+    L = n_limbs_for(bits) - limb_offset
     folded = folded.reshape(B, out_polys, L, N)
-    return limb_combine(folded, bits, axis=-2)
+    dtype = jnp.int32 if bits <= 32 else jnp.int64
+    out = jnp.zeros((B, out_polys, N), dtype)
+    for m in range(L):
+        out = out + (folded[:, :, m].astype(dtype) << (8 * (m + limb_offset)))
+    return out
 
 
 # ---------------------------------------------------------------------------

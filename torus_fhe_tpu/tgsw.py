@@ -39,10 +39,11 @@ class PackedTGsw:
     kernels: jax.Array
     bits: int = 32
     mask_size: int = 1
+    limb_offset: int = 0  # dropped low kernel limbs (BK compression)
 
 
 register_dataclass(PackedTGsw, data_fields=("kernels",),
-                   meta_fields=("bits", "mask_size"))
+                   meta_fields=("bits", "mask_size", "limb_offset"))
 
 
 def tgsw_encrypt(key, messages, alpha: float, rlwe_key: RLweKey,
@@ -69,19 +70,21 @@ def tgsw_encrypt(key, messages, alpha: float, rlwe_key: RLweKey,
     return TGswSample(a)
 
 
-def pack_tgsw(sample: TGswSample, tgsw_params: TGswParams) -> PackedTGsw:
+def pack_tgsw(sample: TGswSample, tgsw_params: TGswParams,
+              drop_limbs: int = 0) -> PackedTGsw:
     """Host-side packing of TGSW samples into MXU conv kernels.
 
     The external product contracts decomposition digits (rows r = (i, j))
     against RLWE row polys producing k+1 output polys, so the kernel tensor is
-    kernels[r=(i,j), c=poly] = samples[i, j, poly].
+    kernels[r=(i,j), c=poly] = samples[i, j, poly]. ``drop_limbs`` truncates
+    the kernels' low bytes (BK compression, see poly.pack_kernels_host).
     """
     arr = np.asarray(jax.device_get(sample.samples))
     *lead, l, kp1, kp1_, N = arr.shape
     assert kp1 == kp1_
     kern = arr.reshape(*lead, l * kp1, kp1, N)  # (..., R, C, N)
-    packed = poly.pack_kernels_host(kern, tgsw_params.bits)
-    return PackedTGsw(jnp.asarray(packed), tgsw_params.bits, kp1 - 1)
+    packed = poly.pack_kernels_host(kern, tgsw_params.bits, drop_limbs)
+    return PackedTGsw(jnp.asarray(packed), tgsw_params.bits, kp1 - 1, drop_limbs)
 
 
 def tgsw_decompose_rlwe(accum: RLweSample, tgsw_params: TGswParams):
@@ -114,7 +117,8 @@ def tgsw_extern_mul(accum: RLweSample, gsw: PackedTGsw, tgsw_params: TGswParams)
     kp1 = gsw.mask_size + 1
     total = None
     for m, rows in enumerate(row_blocks):
-        prod = poly.negacyclic_extern_product(rows, gsw.kernels, gsw.bits, kp1)
+        prod = poly.negacyclic_extern_product(rows, gsw.kernels, gsw.bits, kp1,
+                                              gsw.limb_offset)
         if m:
             prod = prod << (8 * m)
         total = prod if total is None else total + prod

@@ -182,7 +182,16 @@ def share_secret_streaming(key, t: int, p: int, rng_key,
     # (G, t-1, k, N) random blocks r_0..r_{t-2} per group
     blocks = np.asarray(jax.device_get(
         jax.random.bernoulli(rng_key, 0.5, (G, max(t - 1, 1), k, N)))).astype(np.int32)
+
+    from ..ops import native
+
     repo = ShareSet(t, p)
+    if native.available() and t > 1:
+        shares = native.bl_shares_stream(key, blocks[:, : t - 1])  # (G, t, k, N)
+        for idx, g in enumerate(groups):
+            for i, party in enumerate(find_parties(g, t, p)):
+                repo.shares[(party, g)] = shares[idx, i]
+        return repo
     for idx, g in enumerate(groups):
         parties = find_parties(g, t, p)
         repo.shares[(parties[0], g)] = key + blocks[idx, :t - 1].sum(0)

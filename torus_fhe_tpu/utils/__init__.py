@@ -1,0 +1,1 @@
+from . import device, noise, serialize

@@ -1,0 +1,151 @@
+"""Key and ciphertext serialization (the cloud/client split).
+
+TPU-native replacement for the reference's tfhe_io file round-trips
+(`export_tfheGateBootstrappingSecretKeySet_toFile` in src/KeyGen.cpp:41-51,
+per-bit ciphertext arrays in src/bootstrap_modules.cpp:99-103, Shamir shards
+in src/KeySplit.cpp:120-150). Every stage of a pipeline can round-trip through
+files: keygen on one host, evaluation on another, decryption on a third — the
+reference's `test/` directory workflow (SURVEY.md §5 checkpoint/resume).
+
+Format: numpy .npz with a `__schema__` tag, a params-registry tag (parameter
+sets are static code-side dataclasses, stored by name + field values), and the
+pytree arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+
+import jax
+import numpy as np
+
+_SCHEMA = "torus_fhe_tpu.v1"
+
+
+def _params_to_json(params) -> str:
+    d = {"__class__": type(params).__name__}
+    d.update(dataclasses.asdict(params))
+    return json.dumps(d)
+
+
+def _params_from_json(s: str):
+    from ..core import params as P
+
+    d = json.loads(s)
+    cls = getattr(P, d.pop("__class__"))
+    return cls(**d)
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    return leaves, treedef
+
+
+def save(path: str, kind: str, tree, params=None) -> None:
+    """Serialize a pytree of arrays (key, ciphertext batch, share set...)."""
+    leaves, treedef = _flatten(tree)
+    payload = {f"leaf_{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
+    meta = {"schema": _SCHEMA, "kind": kind, "n_leaves": len(leaves)}
+    if params is not None:
+        meta["params"] = _params_to_json(params)
+    payload["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **payload)
+
+
+def load(path: str):
+    """Returns (kind, leaves, params_or_None); rebuild with the matching
+    `load_*` helper or jax.tree.unflatten."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        assert meta["schema"] == _SCHEMA, meta
+        leaves = [z[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+        params = _params_from_json(meta["params"]) if "params" in meta else None
+    return meta["kind"], leaves, params
+
+
+def save_secret_key(path: str, sk) -> None:
+    save(path, "secret_key", sk.key, params=sk.params)
+
+
+def load_secret_key(path: str):
+    from ..boot.api import SecretKey
+    from ..lwe import LweKey
+
+    kind, leaves, params = load(path)
+    assert kind == "secret_key", kind
+    return SecretKey(params, LweKey(jax.numpy.asarray(leaves[0])))
+
+
+def save_cloud_key(path: str, ck) -> None:
+    save(path, "cloud_key",
+         {"bk": ck.bootstrap_key.kernels, "ks": ck.keyswitch_key.mat,
+          "ks_meta": np.array([ck.keyswitch_key.n_in, ck.keyswitch_key.n_out])},
+         params=ck.params)
+
+
+def load_cloud_key(path: str):
+    import jax.numpy as jnp
+
+    from ..boot.api import CloudKey
+    from ..boot.bootstrap import BootstrapKey
+    from ..boot.keyswitch import KeyswitchKey
+
+    kind, leaves, params = load(path)
+    assert kind == "cloud_key", kind
+    bk, ks, ks_meta = leaves
+    return CloudKey(params, BootstrapKey(jnp.asarray(bk)),
+                    KeyswitchKey(jnp.asarray(ks), int(ks_meta[0]), int(ks_meta[1])))
+
+
+def save_lwe(path: str, sample, params=None) -> None:
+    save(path, "lwe", {"a": sample.a, "b": sample.b}, params=params)
+
+
+def load_lwe(path: str):
+    import jax.numpy as jnp
+
+    from ..lwe import LweSample
+
+    kind, leaves, _ = load(path)
+    assert kind == "lwe", kind
+    return LweSample(jnp.asarray(leaves[0]), jnp.asarray(leaves[1]))
+
+
+def save_mk_cloud_key(path: str, ck) -> None:
+    save(path, "mk_cloud_key",
+         {"bk": ck.bk_kernels, "ks": ck.ks_mat,
+          "parties": np.array([ck.parties])}, params=ck.params)
+
+
+def load_mk_cloud_key(path: str):
+    import jax.numpy as jnp
+
+    from ..mk.keys3gen import MKCloudKey
+
+    kind, leaves, params = load(path)
+    assert kind == "mk_cloud_key", kind
+    bk, ks, parties = leaves
+    return MKCloudKey(jnp.asarray(bk), jnp.asarray(ks), int(parties[0]), params)
+
+
+def save_share_set(path: str, repo) -> None:
+    keys = sorted(repo.shares)
+    save(path, "share_set",
+         {"tp": np.array([repo.t, repo.p]),
+          "index": np.array(keys, np.int64),
+          "shares": np.stack([repo.shares[k] for k in keys])})
+
+
+def load_share_set(path: str):
+    from ..threshold.shares import ShareSet
+
+    kind, leaves, _ = load(path)
+    assert kind == "share_set", kind
+    index, shares, tp = leaves  # dict leaves flatten in sorted key order
+    repo = ShareSet(int(tp[0]), int(tp[1]))
+    for (party, gid), s in zip(index.tolist(), shares):
+        repo.shares[(int(party), int(gid))] = s
+    return repo
