@@ -238,11 +238,168 @@ def test_parameters_3gen(parties: int = 2, n: int = 16, N: int = 64) -> SchemePa
     return SchemeParams3Gen(n, 2**-13.52, N, 1, 64, 2, 7, 2**-30.70, 3, 3, 2**-13.52, parties)
 
 
+@dataclass(frozen=True)
+class SchemeParamsCCS:
+    """1st-gen (CCS) multikey TFHE parameters (api.jl:4-25 ``SchemeParameters``
+    as used by the mktfhe_parameters_{2,4,8,16}party sets, mk_api.jl:4-220)."""
+
+    lwe_size: int
+    lwe_noise_stddev: float
+
+    rlwe_polynomial_degree: int
+    rlwe_mask_size: int
+    rlwe_bits: int
+
+    bs_decomp_length: int
+    bs_log2_base: int
+    bs_noise_stddev: float
+
+    ks_decomp_length: int
+    ks_log2_base: int
+    ks_noise_stddev: float
+
+    max_parties: int
+
+    @property
+    def lwe(self) -> LweParams:
+        return LweParams(self.lwe_size)
+
+    @property
+    def rlwe(self) -> RLweParams:
+        return RLweParams(self.rlwe_polynomial_degree, self.rlwe_mask_size, self.rlwe_bits)
+
+    @property
+    def tgsw(self) -> TGswParams:
+        return TGswParams(self.bs_decomp_length, self.bs_log2_base, self.rlwe_bits)
+
+    @property
+    def ks(self) -> KeyswitchParams:
+        return KeyswitchParams(self.ks_decomp_length, self.ks_log2_base)
+
+
+def mktfhe_parameters_2party_ccs() -> SchemeParamsCCS:
+    """mk_api.jl:4-10 (mktfhe_parameters_2party)."""
+    return SchemeParamsCCS(560, 3.05e-5, 1024, 1, 32, 3, 9, 3.72e-9, 8, 2, 3.05e-5, 2)
+
+
+def mktfhe_parameters_4party_ccs() -> SchemeParamsCCS:
+    """mk_api.jl:56-62 (mktfhe_parameters_4party)."""
+    return SchemeParamsCCS(560, 3.05e-5, 1024, 1, 32, 4, 8, 3.72e-9, 8, 2, 3.05e-5, 4)
+
+
+def mktfhe_parameters_8party_ccs() -> SchemeParamsCCS:
+    """mk_api.jl:110-116 (mktfhe_parameters_8party)."""
+    return SchemeParamsCCS(560, 3.05e-5, 1024, 1, 32, 5, 6, 3.72e-9, 8, 2, 3.05e-5, 8)
+
+
+def mktfhe_parameters_16party_ccs() -> SchemeParamsCCS:
+    """mk_api.jl:183-190 (mktfhe_parameters_16party)."""
+    return SchemeParamsCCS(560, 3.05e-5, 1024, 1, 32, 12, 2, 3.72e-9, 8, 2, 3.05e-5, 16)
+
+
+def test_parameters_ccs(parties: int = 2, n: int = 16, N: int = 64) -> SchemeParamsCCS:
+    """Tiny insecure CCS parameter set for unit tests."""
+    return SchemeParamsCCS(n, 3.05e-5, N, 1, 32, 3, 9, 3.72e-9, 8, 2, 3.05e-5, parties)
+
+
+@dataclass(frozen=True)
+class SchemeParamsKMS:
+    """2nd-gen (KMS) multikey TFHE parameters (api.jl:27-50
+    ``SchemeParameters_new``; sets mktfhe_parameters_{2..16}party_new/_fast,
+    mk_api.jl:12-30, 64-82, 118-136, 195-212)."""
+
+    lwe_size: int
+    lwe_noise_stddev: float
+
+    rlwe_polynomial_degree: int
+    rlwe_mask_size: int
+    rlwe_bits: int  # reference is32=false => 64
+
+    gsw_decomp_length: int
+    gsw_log2_base: int
+    gsw_noise_stddev: float
+
+    lev_decomp_length: int
+    lev_log2_base: int
+
+    uni_decomp_length: int
+    uni_log2_base: int
+    uni_noise_stddev: float
+
+    ks_decomp_length: int
+    ks_log2_base: int
+    ks_noise_stddev: float
+
+    max_parties: int
+
+    @property
+    def lwe(self) -> LweParams:
+        return LweParams(self.lwe_size)
+
+    @property
+    def rlwe(self) -> RLweParams:
+        return RLweParams(self.rlwe_polynomial_degree, self.rlwe_mask_size, self.rlwe_bits)
+
+    @property
+    def tgsw(self) -> TGswParams:
+        """Per-party single-key GSW gadget (gsw_key of BootstrapKeyPart_new)."""
+        return TGswParams(self.gsw_decomp_length, self.gsw_log2_base, self.rlwe_bits)
+
+    @property
+    def tlev(self) -> TGswParams:
+        """TLev accumulator gadget."""
+        return TGswParams(self.lev_decomp_length, self.lev_log2_base, self.rlwe_bits)
+
+    @property
+    def uni(self) -> TGswParams:
+        """Uni-encryption (relinearisation key) gadget."""
+        return TGswParams(self.uni_decomp_length, self.uni_log2_base, self.rlwe_bits)
+
+    @property
+    def ks(self) -> KeyswitchParams:
+        return KeyswitchParams(self.ks_decomp_length, self.ks_log2_base)
+
+
+def mktfhe_parameters_2party_kms(fast: bool = False) -> SchemeParamsKMS:
+    """mk_api.jl:12-30 (mktfhe_parameters_2party_new / _fast)."""
+    uni = (3, 10) if fast else (2, 13)
+    return SchemeParamsKMS(560, 3.05e-5, 2048, 1, 64, 3, 13, 4.63e-18,
+                           2, 7, uni[0], uni[1], 4.63e-18, 8, 2, 3.05e-5, 2)
+
+
+def mktfhe_parameters_4party_kms(fast: bool = False) -> SchemeParamsKMS:
+    """mk_api.jl:64-82 (mktfhe_parameters_4party_new / _fast)."""
+    uni = (7, 6) if fast else (5, 8)
+    return SchemeParamsKMS(560, 3.05e-5, 2048, 1, 64, 5, 8, 4.63e-18,
+                           2, 8, uni[0], uni[1], 4.63e-18, 8, 2, 3.05e-5, 4)
+
+
+def mktfhe_parameters_8party_kms(fast: bool = False) -> SchemeParamsKMS:
+    """mk_api.jl:118-136 (mktfhe_parameters_8party_new / _fast)."""
+    uni = (7, 4) if fast else (8, 4)
+    return SchemeParamsKMS(560, 3.05e-5, 2048, 1, 64, 4, 11, 4.63e-18,
+                           3, 6, uni[0], uni[1], 4.63e-18, 8, 2, 3.05e-5, 8)
+
+
+def mktfhe_parameters_16party_kms(fast: bool = False) -> SchemeParamsKMS:
+    """mk_api.jl:192-210 (mktfhe_parameters_16party_new / _fast)."""
+    uni = (7, 4) if fast else (9, 4)
+    return SchemeParamsKMS(560, 3.05e-5, 2048, 1, 64, 5, 9, 4.63e-18,
+                           3, 6, uni[0], uni[1], 4.63e-18, 8, 2, 3.05e-5, 16)
+
+
+def test_parameters_kms(parties: int = 2, n: int = 16, N: int = 64) -> SchemeParamsKMS:
+    """Tiny insecure KMS parameter set for unit tests (64-bit torus like the
+    shipped sets, small ring)."""
+    return SchemeParamsKMS(n, 3.05e-5, N, 1, 64, 3, 13, 4.63e-18,
+                           2, 7, 2, 13, 4.63e-18, 8, 2, 3.05e-5, parties)
+
+
 # Parameter dataclasses are hashable static metadata: registering them as
 # static pytree nodes lets keys/ciphertexts that carry them flow through
 # jit/pjit/shard_map without tracing them as arrays.
 for _cls in (LweParams, RLweParams, TGswParams, KeyswitchParams,
-             SchemeParams, SchemeParams3Gen):
+             SchemeParams, SchemeParams3Gen, SchemeParamsCCS, SchemeParamsKMS):
     register_static(_cls)
 
 
@@ -255,4 +412,12 @@ PARAMETER_REGISTRY = {
     "mk_4party_3gen": mktfhe_parameters_4party_3gen,
     "mk_8party_3gen": mktfhe_parameters_8party_3gen,
     "mk_16party_3gen": mktfhe_parameters_16party_3gen,
+    "mk_2party_ccs": mktfhe_parameters_2party_ccs,
+    "mk_4party_ccs": mktfhe_parameters_4party_ccs,
+    "mk_8party_ccs": mktfhe_parameters_8party_ccs,
+    "mk_16party_ccs": mktfhe_parameters_16party_ccs,
+    "mk_2party_kms": mktfhe_parameters_2party_kms,
+    "mk_4party_kms": mktfhe_parameters_4party_kms,
+    "mk_8party_kms": mktfhe_parameters_8party_kms,
+    "mk_16party_kms": mktfhe_parameters_16party_kms,
 }

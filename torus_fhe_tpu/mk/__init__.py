@@ -1,4 +1,4 @@
-from . import boot3gen, gates3gen, keys3gen, samples
+from . import boot3gen, ccs, gates3gen, keys3gen, kms, samples
 from .boot3gen import mk_bootstrap, mk_bootstrap_wo_keyswitch, mk_keyswitch
 from .keys3gen import (CRP, MKCloudKey, MKSecretKey, common_public_key,
                        gen_crp, mk_cloud_keygen, mk_party_keygen,

@@ -1,0 +1,367 @@
+"""2nd-gen (KMS, Kwak–Min–Song) multikey TFHE — TPU-native.
+
+Rework of the reference KMS scheme (3-gen-mk-tfhe/src/new_mk_internals.jl,
+src/tlev.jl): each party ships (a) standard single-key TGSW encryptions of its
+LWE key bits under a throwaway RLWE key z_p (`gsw_key`,
+new_mk_internals.jl:24-26), and (b) ONE uni-encryption of z_p under its real
+RLWE key (`key_uni_enc`, :28-32). Bootstrapping runs, per party, a *single-key*
+blind rotate in the TLev domain (`mk_ith_blind_rotate`, :210-223) followed by a
+relinearisation back into the multikey accumulator (`mk_lev_rlwe_mul`,
+:185-207, using `UniProduct_new`, :85-127). The `fast_boot` v2 variant skips
+party 1's TLev phase (:255-272).
+
+TPU-first notes:
+  * The per-party TLev rotate is the existing exact-MXU CMux scan with the
+    batch axis widened to B * lev_decomp_length (tgsw_intern_mul == extern_mul
+    on every TLev row, tlev.jl:88-95).
+  * `tlev_extern_mul` contracts gadget digits against the TLev sample itself —
+    a *runtime* ciphertext — so its kernels are limb-packed in-graph
+    (ops/poly.pack_kernels_traced) instead of at keygen; still exact int8
+    MXU arithmetic, where the reference pays an f64 FFT round trip.
+  * All keygen products are host-side exact; uni/pk/shared kernels pre-pack
+    to int8 once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.tree_util import register_dataclass
+
+from ..boot.keyswitch import keyswitch_keygen
+from ..core import rng as trng
+from ..core.params import SchemeParamsKMS, TGswParams
+from ..core.torus import decode_message, encode_message
+from ..lwe import LweKey, lwe_keygen
+from ..ops import hostmath, poly
+from ..rlwe import RLweKey, extract_lwe_key, rlwe_keygen
+from ..tgsw import PackedTGsw, pack_tgsw, tgsw_encrypt
+from ..utils.device import on_host, to_device
+from .ccs import (_gadget_contract, _pack_l_to_1, gen_shared_key,
+                  mk_keyswitch, mk_rlwe_extract_sample)
+from .samples import MKLweSample, mk_lwe_noiseless_trivial
+
+
+class KMSSecretKey(NamedTuple):
+    """One party's secret material (SecretKey_new per CloudKeyPart_new,
+    mk_api.jl:416-441)."""
+
+    lwe: LweKey
+    rlwe: RLweKey
+
+
+def kms_party_keygen(key, params: SchemeParamsKMS) -> KMSSecretKey:
+    k1, k2 = jax.random.split(key)
+    with on_host():
+        lwe = lwe_keygen(k1, params.lwe)
+        rlwe = rlwe_keygen(k2, params.rlwe, negative=False)
+    return KMSSecretKey(lwe, rlwe)
+
+
+def uni_encrypt_poly(key, message_poly: np.ndarray, alpha: float,
+                     rlwe_key: RLweKey, shared_a: np.ndarray,
+                     gp: TGswParams, N: int):
+    """Uni-encryption of a *polynomial* message (mk_tgsw_encrypt with
+    IntPolynomial message, mk_internals.jl:390-446): returns raw d1, f0, f1
+    of shape (l, N). Used on the throwaway key z_p (new_mk_internals.jl:29)."""
+    bits = gp.bits
+    npdt = np.int32 if bits == 32 else np.int64
+    l = gp.decomp_length
+    k1, k2, k3 = jax.random.split(key, 3)
+    r = np.asarray(jax.device_get(trng.uniform_binary(k1, (1, N))), np.int32)
+    dtype = jnp.int32 if bits == 32 else jnp.int64
+    errs = np.asarray(jax.device_get(trng.gaussian_torus(
+        k2, 0, alpha, (2, l, N), dtype)), npdt)
+    f1 = np.asarray(jax.device_get(trng.uniform_torus(k3, (l, N), dtype)), npdt)
+
+    gadget = np.asarray(gp.gadget_values, npdt)  # (l,)
+    m = np.asarray(message_poly, np.int64)  # small-int poly (binary key)
+
+    d1 = hostmath.negacyclic_polymul_host(r, shared_a, bits) + errs[0]
+    d1 = (d1.astype(np.int64)
+          + m[None, :] * gadget.astype(np.int64)[:, None]).astype(npdt)
+    s = np.asarray(jax.device_get(rlwe_key.key[0]))
+    f0 = hostmath.negacyclic_polymul_host(s, f1, bits) + errs[1]
+    f0 = (f0.astype(np.int64)
+          + r.astype(np.int64) * gadget.astype(np.int64)[:, None]).astype(npdt)
+    return d1, f0, f1
+
+
+@dataclass
+class KMSCloudKey:
+    """Assembled KMS cloud key (MKCloudKey_new, mk_api.jl:436-456)."""
+
+    gsw_kern: jax.Array  # (P*n, 2*limbs, l_gsw*2, N) int8 — TGSW(LWE bits) under z_p
+    d_kern: jax.Array    # (P, L, l_uni, N) int8 — uni-enc d1 of z_p
+    f0_kern: jax.Array   # (P, L, l_uni, N) int8
+    f1_kern: jax.Array   # (P, L, l_uni, N) int8
+    pk_kern: jax.Array   # (P, L, l_uni, N) int8 — party public keys
+    sk_kern: jax.Array   # (L, l_uni, N) int8 — shared key
+    ks_mats: jax.Array   # (P, K, (n+1)*4) int8
+    parties: int = 1
+    params: SchemeParamsKMS = None
+
+
+register_dataclass(KMSCloudKey,
+                   data_fields=("gsw_kern", "d_kern", "f0_kern", "f1_kern",
+                                "pk_kern", "sk_kern", "ks_mats"),
+                   meta_fields=("parties", "params"))
+
+
+def kms_cloud_keygen(key, secret_keys: Sequence[KMSSecretKey],
+                     params: SchemeParamsKMS, device=None) -> KMSCloudKey:
+    """Full KMS cloud-key pipeline (SharedKey_new → per-party CloudKeyPart_new
+    → MKCloudKey_new; mk_api.jl:341-346, 411-456)."""
+    parties = len(secret_keys)
+    assert parties <= params.max_parties
+    bits = params.rlwe_bits
+    N = params.rlwe_polynomial_degree
+    uni = params.uni
+
+    with on_host():
+        ks_key, kz, kg, ku, kp, kk = jax.random.split(key, 6)
+        # shared key uses uni_params decomp length (SharedKey_new, mk_api.jl:341-346)
+        shared_a = np.zeros((uni.decomp_length, N),
+                            np.int32 if bits == 32 else np.int64)
+        dtype = jnp.int32 if bits == 32 else jnp.int64
+        shared_a = np.asarray(jax.device_get(
+            trng.uniform_torus(ks_key, (uni.decomp_length, N), dtype)))
+
+        gsw_k, d_k, f0_k, f1_k, pubs, mats = [], [], [], [], [], []
+        for p, sk in enumerate(secret_keys):
+            # throwaway key z_p (rand_key, new_mk_internals.jl:20)
+            z = rlwe_keygen(jax.random.fold_in(kz, p), params.rlwe, negative=False)
+            # (a) gsw_key: TGSW(LWE key bits) under z_p, gsw params
+            gsw = tgsw_encrypt(jax.random.fold_in(kg, p),
+                               np.asarray(jax.device_get(sk.lwe.key), np.int64),
+                               params.gsw_noise_stddev, z, params.tgsw, params.rlwe)
+            gsw_k.append(np.asarray(jax.device_get(
+                pack_tgsw(gsw, params.tgsw).kernels)))
+            # party public key under shared_a, uni params + noise
+            pub = hostmath.negacyclic_polymul_host(
+                np.asarray(jax.device_get(sk.rlwe.key[0])), shared_a, bits)
+            pub = pub + np.asarray(jax.device_get(trng.gaussian_torus(
+                jax.random.fold_in(kp, p), 0, params.uni_noise_stddev,
+                shared_a.shape, dtype)))
+            pubs.append(pub)
+            # (b) uni-encryption of z_p under the party's real RLWE key
+            d1, f0, f1 = uni_encrypt_poly(
+                jax.random.fold_in(ku, p),
+                np.asarray(jax.device_get(z.key[0])),
+                params.uni_noise_stddev, sk.rlwe, shared_a, uni, N)
+            d_k.append(_pack_l_to_1(d1, bits))
+            f0_k.append(_pack_l_to_1(f0, bits))
+            f1_k.append(_pack_l_to_1(f1, bits))
+            ks = keyswitch_keygen(jax.random.fold_in(kk, p),
+                                  params.ks_noise_stddev, params.ks,
+                                  sk.lwe, extract_lwe_key(sk.rlwe))
+            mats.append(np.asarray(jax.device_get(ks.mat)))
+
+        pk_kern = _pack_l_to_1(np.stack(pubs), bits)
+        sk_kern = _pack_l_to_1(shared_a, bits)
+
+    ck = KMSCloudKey(jnp.asarray(np.concatenate(gsw_k)),
+                     jnp.asarray(np.stack(d_k)), jnp.asarray(np.stack(f0_k)),
+                     jnp.asarray(np.stack(f1_k)), jnp.asarray(pk_kern),
+                     jnp.asarray(sk_kern), jnp.asarray(np.stack(mats)),
+                     parties, params)
+    if jax.devices()[0].platform != "cpu":
+        ck = to_device(ck, device)
+    return ck
+
+
+# ---------------------------------------------------------------------------
+# TLev accumulator ops (src/tlev.jl, batched)
+# ---------------------------------------------------------------------------
+
+
+def tlev_trivial_one(B: int, params: SchemeParamsKMS):
+    """TLev encryption of the integer 1: gadget values on the bodies' constant
+    coefficients (tlev_trivial_int + tlev_add_gadget_times_message,
+    tlev.jl:37-64). Shape (B, l_lev, 2, N)."""
+    lev = params.tlev
+    dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
+    acc = jnp.zeros((B, lev.decomp_length, 2, params.rlwe_polynomial_degree), dtype)
+    g = jnp.asarray(lev.gadget_values, dtype)
+    return acc.at[:, :, 1, 0].add(g[None, :])
+
+
+def tlev_extern_mul(c, lev, params: SchemeParamsKMS):
+    """RLWE(m_lev · c) = <g_lev(c), lev> (tlev_extern_mul, tlev.jl:75-79).
+
+    c: (B, S, N) torus polys; lev: (B, l_lev, 2, N) runtime TLev sample
+    (shared across the S source polys of each batch element).
+    Returns (B, S, 2, N).
+    """
+    levp = params.tlev
+    B, S, N = c.shape
+    digits = poly.decompose(c, levp.decomp_length, levp.log2_base, levp.bits,
+                            levp.offset)  # (B, S, l, N)
+    blocks = poly.digits_to_i8_rows(digits, levp.log2_base)
+    # runtime kernels: (B, l, 2, N) -> packed (B, 2*L, l, N), broadcast over S
+    packed = poly.pack_kernels_traced(lev, levp.bits)
+    packed = jnp.broadcast_to(packed[:, None], (B, S) + packed.shape[1:])
+    packed = packed.reshape((B * S,) + packed.shape[2:])
+    total = None
+    for m, blk in enumerate(blocks):
+        rows = blk.reshape(B * S, -1, N)  # (B*S, l, N)
+        prod = poly.negacyclic_extern_product_batched_kernels(
+            rows, packed, levp.bits, 2)  # (B*S, 2, N)
+        prod = prod.reshape(B, S, 2, N)
+        if m:
+            prod = prod << (8 * m)
+        total = prod if total is None else total + prod
+    return total
+
+
+def _lev_blind_rotate(ck: KMSCloudKey, party: int, bara_p, B: int):
+    """Per-party TLev partial bootstrap (mk_ith_blind_rotate,
+    new_mk_internals.jl:210-223): a single-key CMux scan over the party's n
+    TGSW key-bit encryptions, accumulator = TLev(1), batch folded to
+    B * l_lev rows of RLWE."""
+    from ..tgsw import tgsw_extern_mul
+    from ..rlwe import RLweSample
+
+    params = ck.params
+    n = params.lwe_size
+    llev = params.tlev.decomp_length
+    N = params.rlwe_polynomial_degree
+    lev = tlev_trivial_one(B, params)  # (B, l_lev, 2, N)
+    kernels = ck.gsw_kern[party * n:(party + 1) * n]
+    bara_steps = jnp.swapaxes(bara_p, 0, 1)  # (n, B)
+
+    def step(acc, xs):
+        kern_i, bara_i = xs
+        # mux in the TLev domain: acc += GSW ⊛ ((X^bara − 1)·acc), every row
+        rot = poly.mul_by_monomial(acc, bara_i)
+        temp = (rot - acc).reshape(B * llev, 2, N)
+        gsw = PackedTGsw(kern_i, params.rlwe_bits, 1, 0)
+        delta = tgsw_extern_mul(RLweSample(temp), gsw, params.tgsw)
+        return acc + delta.a.reshape(B, llev, 2, N), None
+
+    lev, _ = jax.lax.scan(step, lev, (kernels, bara_steps))
+    return lev
+
+
+def uni_product_new(x, ck: KMSCloudKey, party: int):
+    """UniProduct_new (new_mk_internals.jl:85-127) on a batched (B, P+1, N)
+    operand: like the CCS hybrid product but with a single relinearisation
+    polynomial v summed over parties."""
+    uni = ck.params.uni
+    P = x.shape[1] - 1
+    u = _gadget_contract(x, ck.d_kern[party], uni)  # (B, P+1, N)
+    v = None
+    for p in range(P):
+        t = _gadget_contract(x[:, p], ck.pk_kern[p], uni)
+        v = t if v is None else v + t
+    v = v - _gadget_contract(x[:, P], ck.sk_kern, uni)  # (B, N)
+    w0 = _gadget_contract(v, ck.f0_kern[party], uni)
+    w1 = _gadget_contract(v, ck.f1_kern[party], uni)
+    out = u.at[:, party].add(w1)
+    out = out.at[:, P].add(w0)
+    return out
+
+
+def _lev_rlwe_mul(acc, lev, ck: KMSCloudKey, party: int):
+    """Fold party ``party``'s TLev partial bootstrap into the multikey
+    accumulator (mk_lev_rlwe_mul, new_mk_internals.jl:185-207).
+
+    acc: (B, P+1, N). Applies tlev_extern_mul to every accumulator poly
+    branch-free — polys of parties not yet processed are exactly zero, and
+    decompose(0) == 0 makes their contribution exactly zero, reproducing the
+    reference's `for i in 1:party-1` skip bit-for-bit."""
+    ef = tlev_extern_mul(acc, lev, ck.params)  # (B, P+1, 2, N)
+    e = ef[..., 0, :]
+    f = ef[..., 1, :]
+    return f - uni_product_new(e, ck, party)
+
+
+def kms_blind_rotate(acc, ck: KMSCloudKey, bara, fast_boot: bool = True):
+    """Party-sequential KMS blind rotate (mk_blind_rotate_new{,_v2},
+    new_mk_internals.jl:241-272). acc: (B, P+1, N); bara: (B, P, n).
+
+    ``fast_boot``: v2 — party 1 does a plain single-key blind rotate of the
+    test vector under its gsw_key and enters the MK accumulator through one
+    UniProduct (no TLev phase).
+    """
+    from ..tgsw import tgsw_extern_mul
+    from ..rlwe import RLweSample
+
+    params = ck.params
+    P = ck.parties
+    B = acc.shape[0]
+    n = params.lwe_size
+    N = params.rlwe_polynomial_degree
+    start = 0
+    if fast_boot:
+        # single-key rotate of the test vector (mk_single_blind_rotate, :226-238)
+        tv = acc[:, P]  # body carries the rotated test vector
+        sacc = jnp.concatenate(
+            [jnp.zeros((B, 1, N), acc.dtype), tv[:, None]], axis=1)
+        kernels = ck.gsw_kern[:n]
+        bara_steps = jnp.swapaxes(bara[:, 0], 0, 1)
+
+        def step(a, xs):
+            kern_i, bara_i = xs
+            rot = poly.mul_by_monomial(a, bara_i)
+            gsw = PackedTGsw(kern_i, params.rlwe_bits, 1, 0)
+            delta = tgsw_extern_mul(RLweSample(rot - a), gsw, params.tgsw)
+            return a + delta.a, None
+
+        sacc, _ = jax.lax.scan(step, sacc, (kernels, bara_steps))
+        # e = trivial(mask of sacc), f = trivial(body) (:259-263)
+        zeros = jnp.zeros((B, P, N), acc.dtype)
+        e = jnp.concatenate([zeros, sacc[:, 0][:, None]], axis=1)
+        f = jnp.concatenate([zeros, sacc[:, 1][:, None]], axis=1)
+        acc = f - uni_product_new(e, ck, 0)
+        start = 1
+    for p in range(start, P):
+        lev = _lev_blind_rotate(ck, p, bara[:, p], B)
+        acc = _lev_rlwe_mul(acc, lev, ck, p)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap + gates
+# ---------------------------------------------------------------------------
+
+
+def mk_bootstrap_wo_keyswitch(ck: KMSCloudKey, mu, x: MKLweSample,
+                              fast_boot: bool = True) -> MKLweSample:
+    """Mod-switch + KMS blind rotate (mk_bootstrap_wo_keyswitch_new,
+    new_mk_internals.jl:302-312). ``mu`` is a Torus64 phase."""
+    params = ck.params
+    N = params.rlwe_polynomial_degree
+    P = ck.parties
+    lead = x.b.shape
+    B = int(np.prod(lead)) if lead else 1
+    bara = decode_message(x.a, 2 * N).astype(jnp.int32).reshape(B, P, -1)
+    barb = decode_message(x.b, 2 * N).astype(jnp.int32).reshape(B)
+    dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
+    testvect = jnp.full((N,), mu, dtype)
+    body = poly.mul_by_monomial(jnp.broadcast_to(testvect, (B, N)), -barb)
+    acc = jnp.concatenate([jnp.zeros((B, P, N), dtype), body[:, None]], axis=1)
+    acc = kms_blind_rotate(acc, ck, bara, fast_boot)
+    u = mk_rlwe_extract_sample(acc)
+    return MKLweSample(u.a.reshape(lead + u.a.shape[-2:]), u.b.reshape(lead))
+
+
+def mk_bootstrap(ck: KMSCloudKey, mu, x: MKLweSample,
+                 fast_boot: bool = True) -> MKLweSample:
+    """Full KMS multikey bootstrap (mk_bootstrap_new,
+    new_mk_internals.jl:315-318)."""
+    u = mk_bootstrap_wo_keyswitch(ck, mu, x, fast_boot)
+    return mk_keyswitch(ck.ks_mats, ck.params.ks, ck.params.lwe_size, u)
+
+
+def mk_gate_nand(ck: KMSCloudKey, x: MKLweSample, y: MKLweSample,
+                 fast_boot: bool = True) -> MKLweSample:
+    """KMS multikey NAND (new_mk_gates.jl:7-15)."""
+    mu32 = encode_message(1, 8)
+    mu64 = encode_message(1, 8, jnp.int64)
+    temp = mk_lwe_noiseless_trivial(mu32, ck.params.lwe, ck.parties, x.b.shape) - x - y
+    return mk_bootstrap(ck, mu64, temp, fast_boot)

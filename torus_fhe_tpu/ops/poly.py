@@ -227,6 +227,44 @@ def negacyclic_extern_product(digits, packed, bits: int, out_polys: int,
     return out
 
 
+def pack_kernels_traced(kernels, bits: int):
+    """In-graph version of `pack_kernels_host` for *runtime* torus kernels.
+
+    kernels: (..., R, C, N) traced torus ints. Returns (..., C*L, R, N) int8
+    in the exact layout `_conv_backend` consumes. Needed where the "key" side
+    of a negacyclic contraction is itself a ciphertext computed on device —
+    e.g. the KMS TLev accumulator (new_mk_internals.jl:185-207), which the
+    reference forward-transforms at runtime (`fftlev = forward_transform(lev)`).
+    """
+    limbs = limb_split_signed(kernels, bits)  # (..., R, C, N, L)
+    limbs = jnp.moveaxis(limbs, -1, -2)  # (..., R, C, L, N)
+    limbs = limbs[..., ::-1]  # flip window for XLA correlation
+    limbs = jnp.moveaxis(limbs, -4, -2)  # (..., C, L, R, N)
+    s = limbs.shape
+    return limbs.reshape(s[:-4] + (s[-4] * s[-3], s[-2], s[-1]))
+
+
+def negacyclic_extern_product_batched_kernels(digits, packed, bits: int,
+                                              out_polys: int):
+    """Per-batch-element kernels: out[b, c] = sum_r digits[b, r] (*) k[b, r, c].
+
+    digits: (B, R, N) int8; packed: (B, C*L, R, N) int8 from
+    `pack_kernels_traced`. The conv backend is vmapped over the pair — XLA
+    lowers this to a batched MXU contraction. Exact, same contract as
+    `negacyclic_extern_product`.
+    """
+    backend = _conv_backend if _BACKEND == "conv" else _matmul_backend
+    folded = jax.vmap(lambda d, k: backend(d[None], k, bits)[0])(digits, packed)
+    B, _, N = folded.shape
+    L = n_limbs_for(bits)
+    folded = folded.reshape(B, out_polys, L, N)
+    dtype = jnp.int32 if bits <= 32 else jnp.int64
+    out = jnp.zeros((B, out_polys, N), dtype)
+    for m in range(L):
+        out = out + (folded[:, :, m].astype(dtype) << (8 * m))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Monomial multiplication (negacyclic barrel rotation)
 # ---------------------------------------------------------------------------
