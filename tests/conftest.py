@@ -19,3 +19,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert all(d.platform == "cpu" for d in jax.devices()), jax.devices()
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of distinct XLA programs (8 virtual devices x
+    many parameter sets); letting them accumulate in one process has crashed
+    the CPU client on the final module. Clearing per module bounds live
+    executables without hurting intra-module reuse.
+    """
+    yield
+    jax.clear_caches()

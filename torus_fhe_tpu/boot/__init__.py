@@ -1,1 +1,1 @@
-from . import api, bootstrap, gates, keyswitch
+from . import api, bootstrap, gates, keyswitch, public_sample
