@@ -1,0 +1,111 @@
+"""Cross-scheme multikey bootstrap timing comparison.
+
+TPU-native counterpart of the reference's
+measurements/test_suites/performance_comparison_test/perf_comp.jl:13-143 —
+time one multikey NAND (linear combine + MK bootstrap + keyswitch) for each
+scheme {3gen (AKO), CCS, KMS} across party counts, reporting min/median wall
+times and amortised per-gate throughput over a batch.
+
+    python benchmarks/perf_comp.py [--parties 2 4] [--batch 64] [--cpu]
+                                   [--trials 5] [--n 16 --N 64]
+
+Defaults use tiny insecure parameters so the comparison runs anywhere; on a
+real chip pass production sizes (--n 560 --N 1024 ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_gate(gate_fn, cx, cy, trials):
+    walls = []
+    out = jax.block_until_ready(gate_fn(cx, cy))  # compile
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(gate_fn(cx, cy))
+        walls.append(time.perf_counter() - t0)
+    return walls, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parties", type=int, nargs="+", default=[2])
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n", type=int, default=16)
+    ap.add_argument("--N", type=int, default=64)
+    ap.add_argument("--schemes", nargs="+", default=["3gen", "ccs", "kms"])
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    # the KMS scheme runs on a 64-bit torus (rlwe_bits=64)
+    jax.config.update("jax_enable_x64", True)
+
+    from torus_fhe_tpu import mk
+    from torus_fhe_tpu.core.params import (test_parameters_3gen,
+                                           test_parameters_ccs,
+                                           test_parameters_kms)
+    from torus_fhe_tpu.mk import ccs as mccs, kms as mkms
+    from torus_fhe_tpu.mk import gates3gen
+    from torus_fhe_tpu.mk.samples import mk_decrypt, mk_encrypt
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.integers(0, 2, B) == 1)
+    ys = jnp.asarray(rng.integers(0, 2, B) == 1)
+    rows = []
+
+    for parties in args.parties:
+        setups = {}
+        if "3gen" in args.schemes:
+            p3 = test_parameters_3gen(parties=parties, n=args.n, N=args.N)
+            sks = [mk.mk_party_keygen(jax.random.PRNGKey(10 + p), p3)
+                   for p in range(parties)]
+            ck = mk.mk_cloud_keygen(jax.random.PRNGKey(9), sks, p3)
+            gate = jax.jit(lambda x, y, _ck=ck: gates3gen.mk_gate_nand(_ck, x, y))
+            setups["3gen"] = (p3, [s.lwe for s in sks], gate)
+        if "ccs" in args.schemes:
+            pc = test_parameters_ccs(parties=parties, n=args.n, N=args.N)
+            sks = [mccs.ccs_party_keygen(jax.random.PRNGKey(20 + p), pc)
+                   for p in range(parties)]
+            ck = mccs.ccs_cloud_keygen(jax.random.PRNGKey(19), sks, pc)
+            gate = jax.jit(lambda x, y, _ck=ck: mccs.mk_gate_nand(_ck, x, y))
+            setups["ccs"] = (pc, [s.lwe for s in sks], gate)
+        if "kms" in args.schemes:
+            pk_ = test_parameters_kms(parties=parties, n=args.n, N=args.N)
+            sks = [mkms.kms_party_keygen(jax.random.PRNGKey(30 + p), pk_)
+                   for p in range(parties)]
+            ck = mkms.kms_cloud_keygen(jax.random.PRNGKey(29), sks, pk_)
+            gate = jax.jit(lambda x, y, _ck=ck: mkms.mk_gate_nand(_ck, x, y))
+            setups["kms"] = (pk_, [s.lwe for s in sks], gate)
+
+        for name, (params, lwe_keys, gate) in setups.items():
+            cx = mk_encrypt(jax.random.PRNGKey(1), lwe_keys, xs, params)
+            cy = mk_encrypt(jax.random.PRNGKey(2), lwe_keys, ys, params)
+            walls, out = bench_gate(gate, cx, cy, args.trials)
+            got = np.asarray(mk_decrypt(lwe_keys, out))
+            ok = bool(np.array_equal(got, ~(np.asarray(xs) & np.asarray(ys))))
+            rows.append((parties, name, min(walls), statistics.median(walls),
+                         B / min(walls), ok))
+
+    print(f"# device={jax.devices()[0]} batch={B} n={args.n} N={args.N}")
+    print(f"{'parties':>7s} {'scheme':>6s} {'min_s':>9s} {'median_s':>9s} "
+          f"{'gates/s':>10s} {'correct':>7s}")
+    for p, name, mn, md, thr, ok in rows:
+        print(f"{p:7d} {name:>6s} {mn:9.4f} {md:9.4f} {thr:10.1f} {str(ok):>7s}")
+
+
+if __name__ == "__main__":
+    main()
