@@ -55,9 +55,15 @@ def make_key_pair(key, params: SchemeParams, device=None):
     remote accelerators) and ships the finished keys to ``device`` (default:
     the default accelerator) in one transfer.
     """
-    from ..utils.device import on_host, to_device
+    from ..utils.device import cpu_device, on_host, to_device
 
     with on_host():
+        # commit the PRNG key to the host CPU: with a remote accelerator as
+        # the default platform, an uncommitted TPU-resident key would drag
+        # every keygen op through a device round-trip (tunnel latency x
+        # hundreds of ops); committed-on-CPU inputs keep the whole keygen
+        # graph local.
+        key = jax.device_put(key, cpu_device())
         k1, k2 = jax.random.split(key)
         sk = make_secret_key(k1, params)
         ck = make_cloud_key(k2, sk)
