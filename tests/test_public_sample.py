@@ -7,12 +7,12 @@ import numpy as np
 import pytest
 
 from torus_fhe_tpu.boot import api, public_sample
-from torus_fhe_tpu.core.params import test_parameters
+from torus_fhe_tpu.core.params import test_parameters as make_test_params
 from torus_fhe_tpu.rlwe import rlwe_encrypt, rlwe_keygen
 from torus_fhe_tpu.lwe import lwe_phase
 from torus_fhe_tpu.core.torus import decode_message, encode_message
 
-PARAMS = test_parameters(n=16, N=64)
+PARAMS = make_test_params(n=16, N=64)
 
 
 @pytest.fixture(scope="module")

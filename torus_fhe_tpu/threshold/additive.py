@@ -57,7 +57,10 @@ def split_lwe_key(key, lwe_key: LweKey, parties: int) -> AdditiveShares:
 
 
 def split_rlwe_key(key, rlwe_key: RLweKey, parties: int) -> AdditiveShares:
-    dtype = rlwe_key.key.dtype
+    # Share dtype must match the torus width the key encrypts (not the int32
+    # key-storage dtype): rlwe_partial_decrypt multiplies mod 2^bits, so the
+    # shares must sum to the key mod 2^bits, not just mod 2^32.
+    dtype = jnp.int32 if rlwe_key.bits == 32 else jnp.int64
     return split_additive(key, rlwe_key.key, parties, dtype)
 
 
@@ -80,6 +83,17 @@ def lwe_partial_decrypt(sample: LweSample, shares: AdditiveShares, bound: float,
     partial = jnp.einsum("...n,pn->p...", sample.a.astype(dtype), shares_arr.astype(dtype))
     err = trng.gaussian_torus(rng_key, 0, bound, (p,) + sample.b.shape, dtype)
     if sparse_coords is not None:
+        # LWE semantics differ from NN.cpp's RandomSmudge (which smudges r of
+        # the N ring coordinates): an LWE partial is a single torus scalar per
+        # ciphertext, so ``sparse_coords`` here means "~r of the ciphertext
+        # batch get smudged" (the last axis of sample.b is the batch axis).
+        # Validate r against that axis so a ring-style r > batch is an error.
+        batch = sample.b.shape[-1] if sample.b.ndim else 1
+        if sparse_coords > batch:
+            raise ValueError(
+                f"sparse_coords={sparse_coords} exceeds the LWE batch axis "
+                f"({batch}); ring-coordinate sparsity (NN.cpp RandomSmudge) "
+                "only applies to rlwe_partial_decrypt")
         mask = _sparse_mask(jax.random.fold_in(rng_key, 1),
                             (p,) + sample.b.shape, sparse_coords)
         err = err * mask
