@@ -11,7 +11,7 @@ the zero-step contributes an exactly-zero update — branch-free, same result.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,24 +20,82 @@ import numpy as np
 from ..core.params import SchemeParams
 from ..core.torus import decode_message
 from ..lwe import LweKey, LweSample
-from ..ops import poly
+from ..ops import fblock, poly
 from ..rlwe import (RLweKey, RLweSample, mul_by_monomial, rlwe_extract_sample,
                     rlwe_noiseless_trivial)
 from ..tgsw import PackedTGsw, TGswSample, pack_tgsw, tgsw_encrypt, tgsw_extern_mul
 
 
 class BootstrapKey(NamedTuple):
-    """n packed TGSW encryptions of the LWE key bits (bootstrap.jl:1-16)."""
+    """n TGSW encryptions of the LWE key bits (bootstrap.jl:1-16), in one or
+    both MXU-ready forms:
 
-    kernels: jax.Array  # (n, (k+1)*limbs, l*(k+1), N) int8
+    - ``kernels``: conv-backend int8 limb kernels (ops/poly.pack_kernels_host)
+      driving the lax.scan blind rotate ("scan" backend);
+    - ``fb``: block-circulant F-block layout (ops/fblock.build_fblocks)
+      driving the fblock/pallas backends — the fast path on TPU.
+    """
+
+    kernels: Optional[jax.Array] = None  # (n, (k+1)*limbs, l*(k+1), N) int8
+    fb: Optional[jax.Array] = None  # (n, D, R*bs, (k+1)*L*bs) int8
+
+
+_ROTATE_BACKEND = "auto"  # "auto" | "scan" | "fblock" | "pallas"
+
+
+def set_rotate_backend(name: str):
+    """Select the blind-rotate implementation. "auto" = pallas when an F-block
+    key is present and the platform is TPU (32-bit torus), else fblock when an
+    F-block key is present, else the conv-kernel scan."""
+    global _ROTATE_BACKEND
+    assert name in ("auto", "scan", "fblock", "pallas")
+    _ROTATE_BACKEND = name
+
+
+def get_rotate_backend() -> str:
+    return _ROTATE_BACKEND
+
+
+def _bk_geometry(params: SchemeParams) -> fblock.FBlockGeometry:
+    return fblock.fblock_geometry(
+        params.lwe_size, params.rlwe_polynomial_degree, params.rlwe_mask_size,
+        params.bs_decomp_length, params.rlwe_bits,
+        getattr(params, "bk_drop_limbs", 0))
 
 
 def bootstrap_keygen(key, alpha: float, lwe_key: LweKey, rlwe_key: RLweKey,
-                     params: SchemeParams) -> BootstrapKey:
-    """TGSW-encrypt each LWE key bit under the RLWE key and pack for the MXU."""
+                     params: SchemeParams, forms=("conv",),
+                     fblock_device=None) -> BootstrapKey:
+    """TGSW-encrypt each LWE key bit under the RLWE key and pack for the MXU.
+
+    ``forms``: which key layouts to materialise — "conv" (scan backend) and/or
+    "fblock" (fblock/pallas backends). The F-block build runs on
+    ``fblock_device`` (default: the current default device) since the expanded
+    key is large (~5.9 GB at the 128-bit set) and should be born where it is
+    used.
+    """
     gsw = tgsw_encrypt(key, lwe_key.key, alpha, rlwe_key, params.tgsw, params.rlwe)
-    packed = pack_tgsw(gsw, params.tgsw, getattr(params, "bk_drop_limbs", 0))
-    return BootstrapKey(packed.kernels)
+    drop = getattr(params, "bk_drop_limbs", 0)
+    kernels = None
+    fb = None
+    if "conv" in forms:
+        kernels = pack_tgsw(gsw, params.tgsw, drop).kernels
+    if "fblock" in forms:
+        samples = np.asarray(jax.device_get(gsw.samples))
+        geom = _bk_geometry(params)
+        ctx = jax.default_device(fblock_device) if fblock_device is not None \
+            else _nullcontext()
+        with ctx:
+            fb = fblock.build_fblocks(samples, geom)
+    return BootstrapKey(kernels, fb)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 def mux_rotate(accum: RLweSample, kernels_i, barai, params: SchemeParams) -> RLweSample:
@@ -53,18 +111,47 @@ def mux_rotate(accum: RLweSample, kernels_i, barai, params: SchemeParams) -> RLw
 def blind_rotate(accum: RLweSample, bk: BootstrapKey, bara, params: SchemeParams) -> RLweSample:
     """Multiply accum by X^{<bara, s>} via the CMux chain (bootstrap.jl:31-45).
 
-    accum.a: (B, k+1, N); bara: (B, n). Scans over the n key positions with
-    the batch axis vectorised inside each step.
+    accum.a: (B, k+1, N); bara: (B, n). Dispatches on the configured backend:
+    "scan" runs the conv-kernel lax.scan (batch vectorised inside each step);
+    "fblock"/"pallas" use the block-circulant key (see ops/fblock.py,
+    ops/pallas_rotate.py) — same bit-exact semantics, MXU-matmul form.
     """
-    bara_steps = jnp.swapaxes(bara, 0, 1)  # (n, B)
+    backend = _ROTATE_BACKEND
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if backend == "auto":
+        if bk.fb is None:
+            backend = "scan"
+        elif params.rlwe_bits == 32:
+            backend = "pallas"
+        else:
+            backend = "fblock"
 
-    def step(acc_a, xs):
-        kern_i, bara_i = xs
-        acc = RLweSample(acc_a)
-        out = mux_rotate(acc, kern_i, bara_i, params)
-        return out.a, None
+    if backend == "scan":
+        assert bk.kernels is not None, "scan backend needs a conv-form BK"
+        bara_steps = jnp.swapaxes(bara, 0, 1)  # (n, B)
 
-    acc_a, _ = jax.lax.scan(step, accum.a, (bk.kernels, bara_steps))
+        def step(acc_a, xs):
+            kern_i, bara_i = xs
+            acc = RLweSample(acc_a)
+            out = mux_rotate(acc, kern_i, bara_i, params)
+            return out.a, None
+
+        acc_a, _ = jax.lax.scan(step, accum.a, (bk.kernels, bara_steps))
+        return RLweSample(acc_a)
+
+    assert bk.fb is not None, f"{backend} backend needs an F-block BK"
+    geom = _bk_geometry(params)
+    tg = params.tgsw
+    if backend == "pallas":
+        from ..ops.pallas_rotate import blind_rotate_pallas
+
+        acc_a = blind_rotate_pallas(
+            accum.a, bk.fb, bara, geom, tg.decomp_length, tg.log2_base,
+            tg.offset, interpret=not on_tpu)
+    else:
+        acc_a = fblock.blind_rotate_fblock(
+            accum.a, bk.fb, bara, geom, tg.decomp_length, tg.log2_base,
+            tg.offset)
     return RLweSample(acc_a)
 
 

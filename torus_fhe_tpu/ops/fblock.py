@@ -1,0 +1,168 @@
+"""Block-circulant ("F-block") bootstrapping-key layout for MXU blind rotation.
+
+The negacyclic external product against a *fixed* kernel polynomial k is a
+matmul by the N x N negacirculant matrix M[u, t] = ext[(t - u) mod 2N] with
+ext = [k, -k].  Tiling M into bs x bs blocks, block (i, j) depends only on
+delta = (j - i) mod (2N/bs): there are just D = 2N/bs distinct blocks per
+kernel line.  Storing those D blocks per (row-poly r, out-poly c, kernel
+byte-limb m) yields an MXU-native bootstrapping-key layout
+
+    fb[step, delta, r*bs + p, (c*L + m)*bs + q]
+        = limb_{m+drop}( ext[step, r, c] )[(bs*delta + q - p) mod 2N]
+
+which is bs/2 x smaller than materialised circulants (~5.9 GB for the shipped
+128-bit set at N=1024, l=3, k=1, 3 kept limbs) while every CMux step becomes
+pure (B, R*bs) @ (R*bs, L*bs) int8 matmuls with exact int32 accumulation — no
+convolution lowering, no runtime circulant gathers.
+
+This replaces the reference's per-gate f64 FFT externs
+(3-gen-mk-tfhe/src/polynomials.jl:208-242, bootstrap.jl:19-45) with a design
+that keeps the MXU busy: per step the matrix side streams once from HBM
+regardless of batch, so throughput is compute-bound for batch >= ~128.
+
+Exactness: with drop_limbs=0 results are bit-identical to the schoolbook
+oracle (the int8 limb products accumulate exactly in int32 and recombine mod
+2^bits).  With drop_limbs>0 the low bytes of ext are truncated — equivalent to
+bounded extra key noise < 2^(8*drop) per coefficient, the same BK-rounding
+trade the conv backend's drop_limbs makes (see ops/poly.pack_kernels_host).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import poly
+
+
+class FBlockGeometry(NamedTuple):
+    n: int        # number of CMux steps (LWE size)
+    N: int        # ring degree
+    bs: int       # block size (min(128, N))
+    nb: int       # N // bs
+    D: int        # 2N // bs distinct deltas
+    C: int        # k+1 polys per RLWE sample
+    R: int        # l * C reduction rows
+    L: int        # kept kernel byte-limbs
+    drop: int     # dropped low limbs
+    bits: int     # torus width
+
+
+def fblock_geometry(n: int, N: int, mask_size: int, decomp_length: int,
+                    bits: int, drop_limbs: int, block: int = 128) -> FBlockGeometry:
+    bs = min(block, N)
+    assert N % bs == 0
+    C = mask_size + 1
+    return FBlockGeometry(
+        n=n, N=N, bs=bs, nb=N // bs, D=2 * N // bs, C=C,
+        R=decomp_length * C, L=poly.n_limbs_for(bits) - drop_limbs,
+        drop=drop_limbs, bits=bits)
+
+
+def _delta_index(geom: FBlockGeometry) -> np.ndarray:
+    """(D, bs, bs) gather index: idx[delta, p, q] = (bs*delta + q - p) mod 2N."""
+    d = np.arange(geom.D)[:, None, None]
+    p = np.arange(geom.bs)[None, :, None]
+    q = np.arange(geom.bs)[None, None, :]
+    return ((geom.bs * d + q - p) % (2 * geom.N)).astype(np.int32)
+
+
+def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
+                  chunk: int = 16) -> jax.Array:
+    """Build the F-block key from raw TGSW samples.
+
+    samples: (n, l, C, C, N) torus ints (host numpy); samples[s, i, j, c] is
+    output-poly c of RLWE row (digit-level i, poly j) of step s's TGSW sample
+    (matching tgsw.TGswSample layout).  Returns (n, D, R*bs, C*L*bs) int8 on
+    the default device; the gather/transpose runs on-device in step chunks so
+    only the compact ext-limb tensor (n*R*C*2N*L bytes) crosses the transfer
+    boundary.
+    """
+    n, l, C, C2, N = samples.shape
+    assert (C, N, l * C) == (geom.C, geom.N, geom.R) and C == C2
+    kern = np.ascontiguousarray(samples.reshape(n, geom.R, C, N))
+    with np.errstate(over="ignore"):
+        ext = np.concatenate([kern, -kern], axis=-1)  # wraps mod 2^bits
+    limbs = poly.limb_split_signed_host(ext, geom.bits)  # (n, R, C, 2N, nl)
+    limbs = np.ascontiguousarray(limbs[..., geom.drop:])  # keep L limbs
+
+    idx = jnp.asarray(_delta_index(geom).reshape(-1))
+
+    @jax.jit
+    def _expand(lchunk):
+        # lchunk: (cs, R, C, 2N, L) int8
+        g = jnp.take(lchunk, idx, axis=-2)  # (cs, R, C, D*bs*bs, L)
+        cs = lchunk.shape[0]
+        g = g.reshape(cs, geom.R, C, geom.D, geom.bs, geom.bs, geom.L)
+        g = g.transpose(0, 3, 1, 4, 2, 6, 5)  # (cs, D, R, p, C, L, q)
+        return g.reshape(cs, geom.D, geom.R * geom.bs, C * geom.L * geom.bs)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write(fb, block, start):
+        zero = jnp.zeros((), start.dtype)
+        return lax.dynamic_update_slice(fb, block, (start, zero, zero, zero))
+
+    fb = jnp.zeros((n, geom.D, geom.R * geom.bs, C * geom.L * geom.bs), jnp.int8)
+    for s0 in range(0, n, chunk):
+        s1 = min(s0 + chunk, n)
+        fb = _write(fb, _expand(jnp.asarray(limbs[s0:s1])), jnp.int32(s0))
+    return fb
+
+
+def geometry_from_fb(fb_shape, mask_size: int, decomp_length: int, bits: int,
+                     drop_limbs: int, N: int) -> FBlockGeometry:
+    n, D, Rbs, CLbs = fb_shape
+    bs = 2 * N // D
+    return FBlockGeometry(n=n, N=N, bs=bs, nb=N // bs, D=D,
+                          C=mask_size + 1, R=Rbs // bs,
+                          L=CLbs // ((mask_size + 1) * bs),
+                          drop=drop_limbs, bits=bits)
+
+
+def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
+                        decomp_length: int, log2_base: int, offset: int):
+    """XLA scan over the CMux chain using the F-block key.
+
+    acc_a: (B, C, N) torus; fb: (n, D, R*bs, C*L*bs) int8; bara: (B, n).
+    Exact per-step semantics identical to bootstrap.mux_rotate with the same
+    drop_limbs.  Works on any backend (CPU tests use it directly); the Pallas
+    kernel in ops/pallas_rotate.py is the fused TPU version of this loop.
+    """
+    assert log2_base <= 8, "fblock path needs byte-sized gadget digits"
+    B, C, N = acc_a.shape
+    nb, D, bs, L, R = geom.nb, geom.D, geom.bs, geom.L, geom.R
+    dtype = acc_a.dtype
+
+    # dexp gather plan: for output block j, contraction block delta pulls
+    # digit block i = (j - delta) mod D, valid only when i < nb.
+    ji = (np.arange(nb)[:, None] - np.arange(D)[None, :]) % D  # (j, delta)
+    valid = ji < nb
+    ji_safe = np.where(valid, ji, 0)
+
+    def step(acc, xs):
+        fstep, bara_s = xs  # (D, R*bs, C*L*bs), (B,)
+        rot = poly.mul_by_monomial(acc, bara_s)
+        t = rot - acc
+        digits = poly.decompose(t, decomp_length, log2_base, geom.bits, offset)
+        digits = jnp.swapaxes(digits, -3, -2)  # (B, l, C, N): rows r = (i, j)
+        d8 = digits.reshape(B, R, nb, bs).astype(jnp.int8)
+        g = d8[:, :, ji_safe, :]  # (B, R, j, delta, bs)
+        g = jnp.where(valid[None, None, :, :, None], g, 0)
+        dexp = jnp.moveaxis(g, 2, 1).reshape(B * nb, R * D * bs)
+        fmat = fstep.reshape(D, R, bs, -1)
+        fmat = jnp.moveaxis(fmat, 0, 1).reshape(R * D * bs, -1)
+        prod = jnp.dot(dexp, fmat, preferred_element_type=jnp.int32)
+        prod = prod.reshape(B, nb, C, L, bs)
+        comb = jnp.zeros((B, nb, C, bs), dtype)
+        for m in range(L):
+            comb = comb + (prod[:, :, :, m].astype(dtype) << (8 * (m + geom.drop)))
+        delta_t = jnp.moveaxis(comb, 1, 2).reshape(B, C, N)
+        return acc + delta_t, None
+
+    acc, _ = lax.scan(step, acc_a, (fb, jnp.swapaxes(jnp.asarray(bara), 0, 1)))
+    return acc
