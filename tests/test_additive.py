@@ -59,3 +59,23 @@ def test_rlwe_two_two_decrypt_sparse_smudging():
     phase = threshold.combine(ct, partials)
     got = threshold.decode_bits(phase, n_bits=8)
     assert got == value
+
+
+def test_huge_ring_additive_decrypt():
+    """TlweTwoTwo.cpp:53-55 huge-ring regime: N = 2^20, 2-of-2 additive split,
+    partial decrypt through the limb-f64-FFT product (the exact circulant
+    would materialise an (N, N) matrix), combine, decode."""
+    big = RLweParams(polynomial_degree=1 << 20, mask_size=1, bits=32)
+    rk = rlwe.rlwe_keygen(jax.random.PRNGKey(0), big)
+    value = 0x5AC3
+    N = big.polynomial_degree
+    mu = jnp.zeros(N, jnp.int32).at[:16].set(
+        jnp.asarray([(value >> i) & 1 for i in range(16)], jnp.int32) << 31)
+    ct = rlwe.rlwe_encrypt(jax.random.PRNGKey(1), mu, 1e-7, rk, big)
+    sh = threshold.split_rlwe_key(jax.random.PRNGKey(2), rk, 2)
+
+    partials = threshold.rlwe_partial_decrypt(ct, sh, 1e-4,
+                                              jax.random.PRNGKey(3))
+    phase = threshold.combine(ct, partials)
+    got = threshold.decode_bits(phase, n_bits=16)
+    assert got == value

@@ -148,3 +148,15 @@ def test_decompose_zero_is_zero():
         z = jnp.zeros((4, 8), np.int32 if bits == 32 else np.int64)
         digits = np.asarray(poly.decompose(z, l, lb, bits, tp.offset))
         assert not digits.any()
+
+
+def test_fft64_polymul_matches_ref():
+    """Limb-f64-FFT product == exact circulant for full-range torus operands
+    (both directions of magnitude), N up to 1024."""
+    rng = np.random.default_rng(7)
+    for N in (64, 1024):
+        a = jnp.asarray(rng.integers(-2**31, 2**31, (3, N)), jnp.int32)
+        b = jnp.asarray(rng.integers(-2**31, 2**31, (3, N)), jnp.int32)
+        ref = poly.negacyclic_polymul_ref(a, b)
+        got = poly.negacyclic_polymul_fft64(a, b)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

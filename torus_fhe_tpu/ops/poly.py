@@ -118,6 +118,64 @@ def negacyclic_polymul_ref(a, b):
 
 
 # ---------------------------------------------------------------------------
+# Limb-split f32 FFT product (device-friendly, bounded error, any N)
+# ---------------------------------------------------------------------------
+
+
+def negacyclic_polymul_fft64(a, b, bits: int = 32):
+    """Negacyclic product of int polys a (..., N) with torus polys b (..., N)
+    via 16-bit-limb complex128 FFTs — O(N log N) host math that scales to the
+    reference's huge-ring sweeps (N = 2^20+, src/TlweTwoTwo.cpp:53-55).
+
+    Semantics match the reference's production partial-decrypt path, which is
+    itself an approximate f64 FFT (`torusPolynomialAddMulR`, spqlios; used by
+    src/threshold_decryption_functions.cpp:462). With 16-bit limbs the f64
+    rounding error stays < 2^-20 of the torus even at N = 2^20 — far below
+    every smudging bound the callers add on top. Runs in numpy on the host
+    (TPUs have no f64; the threshold partial-decrypt is client-side work in
+    the reference's cloud/client split anyway). Use the exact conv/matmul
+    backends or negacyclic_polymul_ref where bit-exactness matters.
+
+    Torus wrap-around (mod 2^bits) kills every limb cross-product with scale
+    >= 2^bits, so only 3 of the 4 products survive and the two 2^16-scale
+    terms share one inverse FFT.
+    """
+    assert bits == 32, "fft polymul implements the 32-bit torus"
+    a = np.asarray(jax.device_get(a)).astype(np.int64)
+    b = np.asarray(jax.device_get(b)).astype(np.int64)
+    N = a.shape[-1]
+    k = np.arange(N)
+    tw = np.exp(-1j * np.pi * k / N)
+    itw = np.exp(1j * np.pi * k / N)
+
+    def split16(x):
+        # lo ≡ x (mod 2^16), centred in [-2^15, 2^15) so x - lo is an exact
+        # multiple of 2^16 and both limbs stay small for the f64 FFT
+        lo = ((x + (1 << 15)) & 0xFFFF) - (1 << 15)
+        hi = (x - lo) >> 16
+        return lo.astype(np.float64), hi.astype(np.float64)
+
+    a_lo, a_hi = split16(a)
+    b_lo, b_hi = split16(b)
+    fa_lo = np.fft.fft(a_lo * tw)
+    fa_hi = np.fft.fft(a_hi * tw)
+    fb_lo = np.fft.fft(b_lo * tw)
+    fb_hi = np.fft.fft(b_hi * tw)
+
+    def untwist_i32(f):
+        # |conv sums| <= N * 2^31 * 2 < 2^53 even at N = 2^20: exact in f64,
+        # exact in int64; the int32 cast is the mod-2^32 torus reduction.
+        real = np.real(np.fft.ifft(f) * itw)
+        return np.round(real).astype(np.int64).astype(np.int32)
+
+    lo_lo = untwist_i32(fa_lo * fb_lo)
+    cross = untwist_i32(fa_lo * fb_hi + fa_hi * fb_lo)
+    with np.errstate(over="ignore"):
+        out = lo_lo + (cross << 16)  # int32 wrap == mod 2^32
+    return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
 # Kernel pre-packing (host side, once per key)
 # ---------------------------------------------------------------------------
 

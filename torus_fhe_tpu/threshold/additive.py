@@ -114,8 +114,18 @@ def rlwe_partial_decrypt(sample: RLweSample, shares: AdditiveShares,
     p = shares_arr.shape[0]
     a = sample.a[..., :-1, :]
     dtype = sample.a.dtype
-    prods = poly.negacyclic_polymul_ref(shares_arr.astype(jnp.int64),
-                                        a.astype(dtype))  # (p, k, N)
+    N = a.shape[-1]
+    if N <= 4096 or shares_arr.dtype == jnp.int64:
+        prods = poly.negacyclic_polymul_ref(shares_arr.astype(jnp.int64),
+                                            a.astype(dtype))  # (p, k, N)
+    else:
+        # huge-ring sweeps (src/TlweTwoTwo.cpp:53-55, N = 2^20+): the exact
+        # circulant would materialise (N, N); use the limb f64 FFT instead —
+        # same approximation class as the reference's torusPolynomialAddMulR
+        # partial-decrypt path, error orders below every smudging bound.
+        prods = poly.negacyclic_polymul_fft64(
+            shares_arr, jnp.broadcast_to(a.astype(dtype),
+                                         shares_arr.shape[:1] + a.shape))
     partial = jnp.sum(prods, axis=-2, dtype=dtype)
     N = partial.shape[-1]
     err = trng.gaussian_torus(rng_key, 0, bound, (p, N), dtype)

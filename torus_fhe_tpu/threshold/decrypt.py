@@ -41,8 +41,15 @@ def partial_decrypt(sample: RLweSample, shares, sd: float, rng_key):
     t = shares.shape[0]
     a = sample.a[..., :-1, :]  # (k, N)
     dtype = sample.a.dtype
-    # exact negacyclic products: small-int share x torus mask, summed over k
-    prods = poly.negacyclic_polymul_ref(shares.astype(jnp.int64), a.astype(dtype))
+    N = a.shape[-1]
+    if N <= 4096:
+        # exact negacyclic products: small-int share x torus mask, sum over k
+        prods = poly.negacyclic_polymul_ref(shares.astype(jnp.int64), a.astype(dtype))
+    else:
+        # huge rings (the reference's partialDecrypt is itself an approximate
+        # f64 FFT, torusPolynomialAddMulR): limb FFT, error << smudging sd
+        prods = poly.negacyclic_polymul_fft64(shares, jnp.broadcast_to(
+            a.astype(dtype), shares.shape[:1] + a.shape))
     partial = jnp.sum(prods, axis=-2, dtype=dtype)  # (t, N)
     N = partial.shape[-1]
     err = trng.gaussian_torus(rng_key, 0, sd, (t, N), dtype)
