@@ -154,6 +154,27 @@ def tfhe_parameters_128_tpu() -> SchemeParams:
     )
 
 
+def tfhe_parameters_128_tpu_fast() -> SchemeParams:
+    """128-bit CGGI set with an MXU-optimal gadget: l=2, Bg=2^8.
+
+    Security is set by (n, sigma, N) — unchanged from tfhe_parameters_128.
+    The wider/shorter gadget cuts the blind-rotate contraction from R=6 to
+    R=4 digit rows (1.5x fewer int8 MACs per CMux step) while digits stay
+    byte-sized ([-128, 127], exact int8). Noise trade: decomposition floor
+    rises from eps=2^-22 to 2^-17 per coefficient -> bootstrap phase noise
+    stddev ~0.008 against the 1/16 decision bound (>7 sigma margin; the
+    bench decrypt-checks every gate). Reference parameter style:
+    3-gen-mk-tfhe/src/api.jl:76-115 (same (l, Bg) trade its `_new` sets make).
+    """
+    return SchemeParams(
+        630, 1 / 2**15,
+        1024, 1, 32,
+        2, 8, 1 / 2**25,
+        8, 2, 1 / 2**15,
+        bk_drop_limbs=1,
+    )
+
+
 def thfhe_parameters_1024() -> SchemeParams:
     """C++ libthfhe parameter set with n = N = 1024 so the LWE key maps 1:1 to a
     degree-1024 TLWE key (src/libthfhe.cpp:316-338; ks 8x2, bk l=3 Bg=2^7)."""
@@ -231,6 +252,46 @@ def mktfhe_parameters_8party_3gen() -> SchemeParams3Gen:
 def mktfhe_parameters_16party_3gen() -> SchemeParams3Gen:
     """mk_api.jl:214-220."""
     return SchemeParams3Gen(590, 2**-15.34, 2048, 1, 64, 1, 26, 2**-62.0, 4, 3, 2**-15.34, 16)
+
+
+def mktfhe_parameters_3party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:44-50."""
+    return SchemeParams3Gen(510, 2**-13.26, 1024, 1, 64, 2, 7, 2**-30.70, 5, 2, 2**-13.26, 3)
+
+
+def mktfhe_parameters_32party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:246-252."""
+    return SchemeParams3Gen(620, 2**-16.12, 2048, 1, 64, 1, 26, 2**-62.0, 4, 3, 2**-16.12, 32)
+
+
+def mktfhe_parameters_32party_3gen_for_fft() -> SchemeParams3Gen:
+    """9-sigma FFT-headroom variant (mk_api.jl:254-261)."""
+    return SchemeParams3Gen(680, 2**-17.68, 2048, 1, 64, 1, 25, 2**-62.0, 5, 3, 2**-17.68, 32)
+
+
+def mktfhe_parameters_64party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:268-274."""
+    return SchemeParams3Gen(650, 2**-16.90, 2048, 1, 64, 1, 25, 2**-62.0, 4, 3, 2**-16.90, 64)
+
+
+def mktfhe_parameters_64party_3gen_for_fft() -> SchemeParams3Gen:
+    """9-sigma FFT-headroom variant (mk_api.jl:276-283)."""
+    return SchemeParams3Gen(720, 2**-18.72, 4096, 1, 64, 1, 27, 2**-62.0, 5, 3, 2**-18.72, 64)
+
+
+def mktfhe_parameters_128party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:292-298."""
+    return SchemeParams3Gen(670, 2**-17.42, 2048, 1, 64, 1, 24, 2**-62.0, 5, 3, 2**-17.42, 128)
+
+
+def mktfhe_parameters_256party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:304-310."""
+    return SchemeParams3Gen(740, 2**-19.24, 2048, 1, 64, 2, 18, 2**-62.0, 8, 2, 2**-19.24, 256)
+
+
+def mktfhe_parameters_512party_3gen() -> SchemeParams3Gen:
+    """mk_api.jl:316-322."""
+    return SchemeParams3Gen(730, 2**-18.98, 4096, 1, 64, 1, 27, 2**-62.0, 5, 3, 2**-18.98, 512)
 
 
 def test_parameters_3gen(parties: int = 2, n: int = 16, N: int = 64) -> SchemeParams3Gen:
@@ -388,6 +449,13 @@ def mktfhe_parameters_16party_kms(fast: bool = False) -> SchemeParamsKMS:
                            3, 6, uni[0], uni[1], 4.63e-18, 8, 2, 3.05e-5, 16)
 
 
+def mktfhe_parameters_32party_kms(fast: bool = False) -> SchemeParamsKMS:
+    """mk_api.jl:226-243 (mktfhe_parameters_32party_new / _fast; the two are
+    identical in the reference)."""
+    return SchemeParamsKMS(560, 3.05e-5, 2048, 1, 64, 6, 8, 4.63e-18,
+                           3, 7, 16, 2, 4.63e-18, 8, 2, 3.05e-5, 32)
+
+
 def test_parameters_kms(parties: int = 2, n: int = 16, N: int = 64) -> SchemeParamsKMS:
     """Tiny insecure KMS parameter set for unit tests (64-bit torus like the
     shipped sets, small ring)."""
@@ -407,11 +475,20 @@ PARAMETER_REGISTRY = {
     "tfhe_80": tfhe_parameters_80,
     "tfhe_128": tfhe_parameters_128,
     "tfhe_128_tpu": tfhe_parameters_128_tpu,
+    "tfhe_128_tpu_fast": tfhe_parameters_128_tpu_fast,
     "thfhe_1024": thfhe_parameters_1024,
     "mk_2party_3gen": mktfhe_parameters_2party_3gen,
+    "mk_3party_3gen": mktfhe_parameters_3party_3gen,
     "mk_4party_3gen": mktfhe_parameters_4party_3gen,
     "mk_8party_3gen": mktfhe_parameters_8party_3gen,
     "mk_16party_3gen": mktfhe_parameters_16party_3gen,
+    "mk_32party_3gen": mktfhe_parameters_32party_3gen,
+    "mk_32party_3gen_for_fft": mktfhe_parameters_32party_3gen_for_fft,
+    "mk_64party_3gen": mktfhe_parameters_64party_3gen,
+    "mk_64party_3gen_for_fft": mktfhe_parameters_64party_3gen_for_fft,
+    "mk_128party_3gen": mktfhe_parameters_128party_3gen,
+    "mk_256party_3gen": mktfhe_parameters_256party_3gen,
+    "mk_512party_3gen": mktfhe_parameters_512party_3gen,
     "mk_2party_ccs": mktfhe_parameters_2party_ccs,
     "mk_4party_ccs": mktfhe_parameters_4party_ccs,
     "mk_8party_ccs": mktfhe_parameters_8party_ccs,
@@ -420,4 +497,5 @@ PARAMETER_REGISTRY = {
     "mk_4party_kms": mktfhe_parameters_4party_kms,
     "mk_8party_kms": mktfhe_parameters_8party_kms,
     "mk_16party_kms": mktfhe_parameters_16party_kms,
+    "mk_32party_kms": mktfhe_parameters_32party_kms,
 }

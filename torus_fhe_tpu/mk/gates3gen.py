@@ -144,7 +144,16 @@ def mk_geq(ck: MKCloudKey, a, b, one, width: int) -> MKLweSample:
 
 def mk_int_mul(ck: MKCloudKey, a, b, zero: MKLweSample, width: int) -> MKLweSample:
     """Shift-add multiplier, low ``width`` bits (mk_int_mul_3gen,
-    3gen_mk_gates.jl:291-362). Partial products batch into one bootstrap."""
+    3gen_mk_gates.jl:291-362). Partial products batch into one bootstrap.
+
+    Deviation from the reference: its final accumulation reuses loop counter
+    ``ctr`` (== width-2 after the loop), adding partial-product row width-2
+    twice and never row width-1 (3gen_mk_gates.jl:336-353) — wrong results
+    for general operands. Here the last row added is row width-1, so
+    decrypt(mul(a, b)) == a*b mod 2^width (tests/test_mk_circuits.py).
+    """
+    if width == 1:
+        return mk_gate_and(ck, a, b)
     # BArr[i, j] = a_j AND b_i — all width*width gates in one bootstrap
     aa = MKLweSample(jnp.broadcast_to(a.a[None], (width,) + a.a.shape),
                      jnp.broadcast_to(a.b[None], (width,) + a.b.shape))
@@ -155,15 +164,14 @@ def mk_int_mul(ck: MKCloudKey, a, b, zero: MKLweSample, width: int) -> MKLweSamp
     result = [MKLweSample(barr.a[0, 0], barr.b[0, 0])]
     tmp_in = [MKLweSample(barr.a[0, j + 1], barr.b[0, j + 1]) for j in range(width - 1)]
     tmp_in.append(zero)
-    ctr = 0
     for i in range(1, width - 1):
         row = [MKLweSample(barr.a[i, j], barr.b[i, j]) for j in range(width)]
         tmp = mk_add(ck, _stack_bits(tmp_in), _stack_bits(row), zero, width,
                      with_carry=True)
         result.append(_bit(tmp, 0))
         tmp_in = [_bit(tmp, j + 1) for j in range(width)]
-        ctr = i
-    row = [MKLweSample(barr.a[ctr, j], barr.b[ctr, j]) for j in range(width)]
+    row = [MKLweSample(barr.a[width - 1, j], barr.b[width - 1, j])
+           for j in range(width)]
     tmp = mk_add(ck, _stack_bits(tmp_in), _stack_bits(row), zero, width,
                  with_carry=True)
     for i in range(width + 1):
@@ -177,26 +185,52 @@ def mk_conv2d(ck: MKCloudKey, image, kernels, zero: MKLweSample, stride: int,
     """Encrypted integer conv2d (enc_conv2d, 3gen_mk_gates.jl:364-397).
 
     image: MKLweSample with axes (H, W, width, parties, n) per pixel word;
-    kernels: (C, KH, KW, width, ...). Batches every (channel, out-pixel,
-    kernel-tap) multiply into wide words, then tree-adds.
+    kernels: (C, KH, KW, width, ...). Every (channel, out-pixel, kernel-tap)
+    multiply is batched into one wide mk_int_mul (a single gate-bootstrap
+    stream), then taps accumulate with ripple adds. Returns one MKLweSample
+    with axes (C, OH, OW, width, parties, n).
     """
     H, W = image.a.shape[0], image.a.shape[1]
     C, KH, KW = kernels.a.shape[0], kernels.a.shape[1], kernels.a.shape[2]
     OH = (H - KH) // stride + 1
     OW = (W - KW) // stride + 1
-    outs = []
-    for c in range(C):
-        for i in range(OH):
-            row = []
-            for j in range(OW):
-                acc = None
-                for m in range(KH):
-                    for nn in range(KW):
-                        px = MKLweSample(image.a[i * stride + m, j * stride + nn],
-                                         image.b[i * stride + m, j * stride + nn])
-                        kv = MKLweSample(kernels.a[c, m, nn], kernels.b[c, m, nn])
-                        prod = mk_int_mul(ck, px, kv, zero, width)
-                        acc = prod if acc is None else mk_add(ck, acc, prod, zero, width)
-                row.append(acc)
-            outs.append(row)
-    return outs
+
+    def tap(m, nn):
+        # gather the (C, OH, OW) batch of image/kernel words for one tap;
+        # word (bit) axis must lead for mk_int_mul, batch axes trail
+        rows = [image.a[i * stride + m, j * stride + nn]
+                for i in range(OH) for j in range(OW)]
+        rows_b = [image.b[i * stride + m, j * stride + nn]
+                  for i in range(OH) for j in range(OW)]
+        px_a = jnp.broadcast_to(jnp.stack(rows)[None],
+                                (C, OH * OW) + rows[0].shape)
+        px_b = jnp.broadcast_to(jnp.stack(rows_b)[None],
+                                (C, OH * OW) + rows_b[0].shape)
+        kv_a = jnp.broadcast_to(kernels.a[:, m, nn][:, None],
+                                (C, OH * OW) + rows[0].shape)
+        kv_b = jnp.broadcast_to(kernels.b[:, m, nn][:, None],
+                                (C, OH * OW) + rows_b[0].shape)
+        # move the word axis (currently axis 2) to the front
+        px = MKLweSample(jnp.moveaxis(px_a, 2, 0), jnp.moveaxis(px_b, 2, 0))
+        kv = MKLweSample(jnp.moveaxis(kv_a, 2, 0), jnp.moveaxis(kv_b, 2, 0))
+        return px, kv
+
+    def widen(s: MKLweSample) -> MKLweSample:
+        # an encrypted-0 BIT matching one bit of the batched word (the word
+        # axis leads s, so a bit's shape is s.shape[1:])
+        return MKLweSample(jnp.broadcast_to(zero.a, s.a.shape[1:]),
+                           jnp.broadcast_to(zero.b, s.b.shape[1:]))
+
+    acc = None
+    for m in range(KH):
+        for nn in range(KW):
+            px, kv = tap(m, nn)
+            prod = mk_int_mul(ck, px, kv, widen(px), width)
+            acc = prod if acc is None else mk_add(ck, acc, prod,
+                                                  widen(px), width)
+    # (width, C, OH*OW, ...) -> (C, OH, OW, width, ...)
+    a = jnp.moveaxis(acc.a, 0, 2).reshape(
+        (C, OH, OW) + acc.a.shape[:1] + acc.a.shape[3:])
+    b = jnp.moveaxis(acc.b, 0, 2).reshape(
+        (C, OH, OW) + acc.b.shape[:1] + acc.b.shape[3:])
+    return MKLweSample(a, b)
