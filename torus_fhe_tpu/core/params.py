@@ -477,6 +477,7 @@ PARAMETER_REGISTRY = {
     "tfhe_128_tpu": tfhe_parameters_128_tpu,
     "tfhe_128_tpu_fast": tfhe_parameters_128_tpu_fast,
     "thfhe_1024": thfhe_parameters_1024,
+    "tfhe_test_small": test_parameters,  # INSECURE; CI / CLI smoke only
     "mk_2party_3gen": mktfhe_parameters_2party_3gen,
     "mk_3party_3gen": mktfhe_parameters_3party_3gen,
     "mk_4party_3gen": mktfhe_parameters_4party_3gen,
