@@ -35,15 +35,18 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from torus_fhe_tpu.boot import api, gates
-    from torus_fhe_tpu.core.params import tfhe_parameters_128_tpu
+    from torus_fhe_tpu.core.params import (tfhe_parameters_128_tpu,
+                                           tfhe_parameters_128_tpu_fast)
 
-    params = tfhe_parameters_128_tpu()
+    params = (tfhe_parameters_128_tpu() if "--l3" in sys.argv
+              else tfhe_parameters_128_tpu_fast())
     t0 = time.time()
     # F-block key form -> the fused Pallas blind-rotate kernel on TPU
     sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params, forms=("fblock",))
     keygen_s = time.time() - t0
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    B = int(pos[0]) if pos else 4096
     rng = np.random.default_rng(42)
     xs = jnp.asarray(rng.integers(0, 2, B, dtype=np.int64) == 1)
     ys = jnp.asarray(rng.integers(0, 2, B, dtype=np.int64) == 1)
@@ -92,7 +95,10 @@ def main() -> None:
             "batch": B, "iters": iters, "wall_s": round(dt, 3),
             "compile_s": round(compile_s, 2), "keygen_s": round(keygen_s, 2),
             "p50_single_bootstrap_ms": round(p50_ms, 1),
-            "params": "tfhe_128_tpu (n=630, N=1024, k=1, l=3, bk-1limb)",
+            "params": ("tfhe_128_tpu (n=630, N=1024, k=1, l=3 Bg=2^7, bk-1limb)"
+                       if "--l3" in sys.argv else
+                       "tfhe_128_tpu_fast (n=630, N=1024, k=1, l=2 Bg=2^8, "
+                       "quantized BK: mask-2^16 + body-2^8, 5 limb-cols)"),
             "backend": "pallas fused blind rotate (F-block BK)",
             "device": str(jax.devices()[0]),
             "note": "target is 100k gates/s on v5e-8 => 12.5k/chip",

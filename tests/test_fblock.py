@@ -102,3 +102,45 @@ def test_fblock_drop_limbs_gate():
         bootstrap.set_rotate_backend("auto")
     dec = np.asarray(api.decrypt(sk, out))
     np.testing.assert_array_equal(dec, np.asarray(xs) ^ np.asarray(ys))
+
+
+def test_quantized_bk_all_backends():
+    """Quantized BK (mask quantum 2^16, body rounded 2^8) with the l=2 Bg=2^8
+    gadget: the F-block drop is lossless on the quantized key, so fblock ==
+    scan bit-exactly and every backend decrypts the gate correctly."""
+    base = make_test_params(n=12, N=64)
+    params = SchemeParams(**{**base.__dict__, "bs_decomp_length": 2,
+                             "bs_log2_base": 8, "bk_drop_limbs": 1,
+                             "bk_mask_quantum_bits": 16})
+    sk, ck = api.make_key_pair(jax.random.PRNGKey(11), params,
+                               forms=("conv", "fblock"))
+    geom = bootstrap._bk_geometry(params)
+    assert len(geom.cols) == 5  # mask 2 limbs + body 3 limbs
+    tg = params.tgsw
+
+    rng = np.random.default_rng(12)
+    N = params.rlwe_polynomial_degree
+    acc = rlwe_noiseless_trivial(
+        jnp.asarray(rng.integers(-2**31, 2**31, (3, N), dtype=np.int64),
+                    jnp.int32), params.rlwe, (3,))
+    bara = jnp.asarray(rng.integers(0, 2 * N, (3, params.lwe_size),
+                                    dtype=np.int64), jnp.int32)
+    ref = bootstrap.blind_rotate(
+        acc, bootstrap.BootstrapKey(ck.bootstrap_key.kernels), bara, params).a
+    got = fblock.blind_rotate_fblock(acc.a, ck.bootstrap_key.fb, bara, geom,
+                                     tg.decomp_length, tg.log2_base, tg.offset)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    xs = jnp.asarray([False, True, True, False])
+    ys = jnp.asarray([True, True, False, False])
+    cx = api.encrypt(jax.random.PRNGKey(13), sk, xs)
+    cy = api.encrypt(jax.random.PRNGKey(14), sk, ys)
+    for backend in ("scan", "fblock", "pallas"):
+        bootstrap.set_rotate_backend(backend)
+        try:
+            out = gates.gate_and(ck, cx, cy)
+        finally:
+            bootstrap.set_rotate_backend("auto")
+        dec = np.asarray(api.decrypt(sk, out))
+        np.testing.assert_array_equal(dec, np.asarray(xs) & np.asarray(ys),
+                                      err_msg=backend)

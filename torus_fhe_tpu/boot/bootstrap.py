@@ -60,7 +60,8 @@ def _bk_geometry(params: SchemeParams) -> fblock.FBlockGeometry:
     return fblock.fblock_geometry(
         params.lwe_size, params.rlwe_polynomial_degree, params.rlwe_mask_size,
         params.bs_decomp_length, params.rlwe_bits,
-        getattr(params, "bk_drop_limbs", 0))
+        getattr(params, "bk_drop_limbs", 0),
+        mask_quantum_bits=getattr(params, "bk_mask_quantum_bits", 0))
 
 
 def bootstrap_keygen(key, alpha: float, lwe_key: LweKey, rlwe_key: RLweKey,
@@ -74,8 +75,14 @@ def bootstrap_keygen(key, alpha: float, lwe_key: LweKey, rlwe_key: RLweKey,
     key is large (~5.9 GB at the 128-bit set) and should be born where it is
     used.
     """
-    gsw = tgsw_encrypt(key, lwe_key.key, alpha, rlwe_key, params.tgsw, params.rlwe)
     drop = getattr(params, "bk_drop_limbs", 0)
+    mq = getattr(params, "bk_mask_quantum_bits", 0)
+    # quantized BK: mask rounded to 2^mq BEFORE the body is computed (lossless
+    # limb drop + harder RLWE instance), body rounded to the dropped byte
+    # scale (extra body noise ~2^(8*drop)/sqrt(12), unamplified)
+    gsw = tgsw_encrypt(key, lwe_key.key, alpha, rlwe_key, params.tgsw,
+                       params.rlwe, mask_round_bits=mq,
+                       body_round_bits=8 * drop if mq else 0)
     kernels = None
     fb = None
     if "conv" in forms:

@@ -55,10 +55,21 @@ class TGswParams:
 
     @property
     def offset(self) -> int:
-        """Decomposition offset: B/2 * sum(gadget values), wrapped to signed."""
+        """Decomposition offset: B/2 * sum(gadget values) + q/2, wrapped signed.
+
+        The B/2 terms centre each extracted digit in [-B/2, B/2); the final
+        q/2 = 2^(bits - l*log2B - 1) turns the truncation of the sub-gadget
+        bits into round-to-nearest, so the reconstruction error is centred in
+        (-q/2, q/2] instead of the biased -(x mod q) — without it the bias
+        accumulates key-coherently across the n CMux steps and dominates the
+        bootstrap noise (measured: 20x phase-noise inflation at l*logB=16).
+        """
         total = sum((1 << (self.bits - i * self.log2_base)) if self.bits - i * self.log2_base >= 0 else 0
                     for i in range(1, self.decomp_length + 1))
         off = (total * (1 << (self.log2_base - 1))) % (1 << self.bits)
+        sub = self.bits - self.decomp_length * self.log2_base
+        if sub > 0:
+            off = (off + (1 << (sub - 1))) % (1 << self.bits)
         return _signed(off, self.bits)
 
 
@@ -94,9 +105,18 @@ class SchemeParams:
 
     max_parties: int = 1
     # TPU knob: dropped low kernel bytes in the packed bootstrapping key
-    # (BK compression; extra noise < 2^(8*drop) per coeff, below the gadget
-    # decomposition floor for every shipped set). 0 = bit-exact kernels.
+    # (BK compression). With bk_mask_quantum_bits set the drop is applied to
+    # the BODY only and is lossless on the stored key (the body is rounded at
+    # keygen; extra noise ~2^(8*drop)/sqrt(12) per coefficient, unamplified).
+    # Without quantization, dropped MASK bytes get amplified by the secret
+    # key at phase time (x~sqrt(N/2) stddev) — measured, avoid. 0 = exact.
     bk_drop_limbs: int = 0
+    # TPU knob: quantize BK mask polys to multiples of 2^mq at keygen, BEFORE
+    # the body is computed: the F-block key then drops mq/8 mask limbs
+    # losslessly. Security strictly improves (same absolute noise on a
+    # smaller effective modulus). Must divide the smallest gadget value:
+    # mq <= 32 - l*log2B. 0 = off.
+    bk_mask_quantum_bits: int = 0
 
     @property
     def lwe(self) -> LweParams:
@@ -155,16 +175,17 @@ def tfhe_parameters_128_tpu() -> SchemeParams:
 
 
 def tfhe_parameters_128_tpu_fast() -> SchemeParams:
-    """128-bit CGGI set with an MXU-optimal gadget: l=2, Bg=2^8.
+    """128-bit CGGI set with an MXU-optimal gadget and a quantized BK:
+    l=2, Bg=2^8, mask quantum 2^16, body rounded to 2^8.
 
-    Security is set by (n, sigma, N) — unchanged from tfhe_parameters_128.
-    The wider/shorter gadget cuts the blind-rotate contraction from R=6 to
-    R=4 digit rows (1.5x fewer int8 MACs per CMux step) while digits stay
-    byte-sized ([-128, 127], exact int8). Noise trade: decomposition floor
-    rises from eps=2^-22 to 2^-17 per coefficient -> bootstrap phase noise
-    stddev ~0.008 against the 1/16 decision bound (>7 sigma margin; the
-    bench decrypt-checks every gate). Reference parameter style:
-    3-gen-mk-tfhe/src/api.jl:76-115 (same (l, Bg) trade its `_new` sets make).
+    Security is set by (n, sigma, N) — unchanged from tfhe_parameters_128
+    (the mask quantization strictly hardens the BK's RLWE instance). The
+    l=2/Bg=2^8 gadget cuts the contraction to R=4 byte-exact digit rows and
+    the quantized key needs only 5 kernel limb-columns (mask 2 + body 3)
+    instead of 8 — 20/36 of the l=3 drop-free MAC count per CMux step.
+    Measured bootstrap phase noise stddev ~0.004 against the 1/16 chain
+    decision bound (>15 sigma; bench decrypt-checks every gate). Reference
+    parameter style: 3-gen-mk-tfhe/src/api.jl:76-115.
     """
     return SchemeParams(
         630, 1 / 2**15,
@@ -172,6 +193,7 @@ def tfhe_parameters_128_tpu_fast() -> SchemeParams:
         2, 8, 1 / 2**25,
         8, 2, 1 / 2**15,
         bk_drop_limbs=1,
+        bk_mask_quantum_bits=16,
     )
 
 

@@ -4,33 +4,29 @@ The negacyclic external product against a *fixed* kernel polynomial k is a
 matmul by the N x N negacirculant matrix M[u, t] = ext[(t - u) mod 2N] with
 ext = [k, -k].  Tiling M into bs x bs blocks, block (i, j) depends only on
 delta = (j - i) mod (2N/bs): there are just D = 2N/bs distinct blocks per
-kernel line.  Storing those D blocks per (row-poly r, out-poly c, kernel
-byte-limb m) yields an MXU-native bootstrapping-key layout
+kernel line.  Storing those D blocks per (row-poly r, kernel byte-limb
+column) yields an MXU-native bootstrapping-key layout where every CMux step
+is pure (B, R*bs) @ (R*bs, ncols*bs) int8 matmuls with exact int32
+accumulation — no convolution lowering, no runtime circulant gathers.
 
-    fb[step, delta, r*bs + p, (c*L + m)*bs + q]
-        = limb_{m+drop}( ext[step, r, c] )[(bs*delta + q - p) mod 2N]
-
-which is bs/2 x smaller than materialised circulants (~5.9 GB for the shipped
-128-bit set at N=1024, l=3, k=1, 3 kept limbs) while every CMux step becomes
-pure (B, R*bs) @ (R*bs, L*bs) int8 matmuls with exact int32 accumulation — no
-convolution lowering, no runtime circulant gathers.
+Kernel limb columns are *per output poly* (``geom.cols``): with a quantized
+bootstrapping key (mask polys rounded to multiples of 2^16 BEFORE the body is
+computed — see boot/bootstrap.bootstrap_keygen) the mask needs only its top
+two byte-limbs and the body its top three, so the 128-bit set runs 5 columns
+instead of 8 with NO approximation inside the product at all: the only
+noise added is the benign body-rounding at keygen (~sigma_bk), and security
+strictly improves (the mask's noise-to-modulus ratio grows).
 
 This replaces the reference's per-gate f64 FFT externs
 (3-gen-mk-tfhe/src/polynomials.jl:208-242, bootstrap.jl:19-45) with a design
 that keeps the MXU busy: per step the matrix side streams once from HBM
 regardless of batch, so throughput is compute-bound for batch >= ~128.
-
-Exactness: with drop_limbs=0 results are bit-identical to the schoolbook
-oracle (the int8 limb products accumulate exactly in int32 and recombine mod
-2^bits).  With drop_limbs>0 the low bytes of ext are truncated — equivalent to
-bounded extra key noise < 2^(8*drop) per coefficient, the same BK-rounding
-trade the conv backend's drop_limbs makes (see ops/poly.pack_kernels_host).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,20 +44,35 @@ class FBlockGeometry(NamedTuple):
     D: int        # 2N // bs distinct deltas
     C: int        # k+1 polys per RLWE sample
     R: int        # l * C reduction rows
-    L: int        # kept kernel byte-limbs
-    drop: int     # dropped low limbs
+    cols: Tuple[Tuple[int, int], ...]  # kernel limb columns: (out_poly, shift)
     bits: int     # torus width
 
 
+def default_cols(mask_size: int, bits: int, drop_limbs: int,
+                 mask_quantum_bits: int = 0) -> Tuple[Tuple[int, int], ...]:
+    """Kernel limb columns. Body (poly k) keeps limbs [drop_limbs:]; mask
+    polys keep limbs [mask_quantum_bits/8:] when quantized (lossless — the
+    dropped mask bytes are exactly zero), else [drop_limbs:] like the body."""
+    nl = poly.n_limbs_for(bits)
+    mask_start = (mask_quantum_bits // 8) if mask_quantum_bits else drop_limbs
+    cols = []
+    for j in range(mask_size):
+        cols += [(j, 8 * m) for m in range(mask_start, nl)]
+    cols += [(mask_size, 8 * m) for m in range(drop_limbs, nl)]
+    return tuple(cols)
+
+
 def fblock_geometry(n: int, N: int, mask_size: int, decomp_length: int,
-                    bits: int, drop_limbs: int, block: int = 128) -> FBlockGeometry:
+                    bits: int, drop_limbs: int, block: int = 128,
+                    mask_quantum_bits: int = 0) -> FBlockGeometry:
     bs = min(block, N)
     assert N % bs == 0
     C = mask_size + 1
     return FBlockGeometry(
         n=n, N=N, bs=bs, nb=N // bs, D=2 * N // bs, C=C,
-        R=decomp_length * C, L=poly.n_limbs_for(bits) - drop_limbs,
-        drop=drop_limbs, bits=bits)
+        R=decomp_length * C,
+        cols=default_cols(mask_size, bits, drop_limbs, mask_quantum_bits),
+        bits=bits)
 
 
 def _delta_index(geom: FBlockGeometry) -> np.ndarray:
@@ -78,10 +89,9 @@ def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
 
     samples: (n, l, C, C, N) torus ints (host numpy); samples[s, i, j, c] is
     output-poly c of RLWE row (digit-level i, poly j) of step s's TGSW sample
-    (matching tgsw.TGswSample layout).  Returns (n, D, R*bs, C*L*bs) int8 on
+    (matching tgsw.TGswSample layout).  Returns (n, D, R*bs, ncols*bs) int8 on
     the default device; the gather/transpose runs on-device in step chunks so
-    only the compact ext-limb tensor (n*R*C*2N*L bytes) crosses the transfer
-    boundary.
+    only the compact ext-limb tensor crosses the transfer boundary.
     """
     n, l, C, C2, N = samples.shape
     assert (C, N, l * C) == (geom.C, geom.N, geom.R) and C == C2
@@ -89,53 +99,47 @@ def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
     with np.errstate(over="ignore"):
         ext = np.concatenate([kern, -kern], axis=-1)  # wraps mod 2^bits
     limbs = poly.limb_split_signed_host(ext, geom.bits)  # (n, R, C, 2N, nl)
-    limbs = np.ascontiguousarray(limbs[..., geom.drop:])  # keep L limbs
+    # select the kept (poly, limb) columns -> (n, R, 2N, ncols)
+    sel = np.stack([limbs[:, :, p, :, s // 8] for p, s in geom.cols], axis=-1)
+    sel = np.ascontiguousarray(sel)
+    ncols = len(geom.cols)
 
     idx = jnp.asarray(_delta_index(geom).reshape(-1))
 
     @jax.jit
     def _expand(lchunk):
-        # lchunk: (cs, R, C, 2N, L) int8
-        g = jnp.take(lchunk, idx, axis=-2)  # (cs, R, C, D*bs*bs, L)
+        # lchunk: (cs, R, 2N, ncols) int8
+        g = jnp.take(lchunk, idx, axis=-2)  # (cs, R, D*bs*bs, ncols)
         cs = lchunk.shape[0]
-        g = g.reshape(cs, geom.R, C, geom.D, geom.bs, geom.bs, geom.L)
-        g = g.transpose(0, 3, 1, 4, 2, 6, 5)  # (cs, D, R, p, C, L, q)
-        return g.reshape(cs, geom.D, geom.R * geom.bs, C * geom.L * geom.bs)
+        g = g.reshape(cs, geom.R, geom.D, geom.bs, geom.bs, ncols)
+        g = g.transpose(0, 2, 1, 3, 5, 4)  # (cs, D, R, p, ncols, q)
+        return g.reshape(cs, geom.D, geom.R * geom.bs, ncols * geom.bs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def _write(fb, block, start):
         zero = jnp.zeros((), start.dtype)
         return lax.dynamic_update_slice(fb, block, (start, zero, zero, zero))
 
-    fb = jnp.zeros((n, geom.D, geom.R * geom.bs, C * geom.L * geom.bs), jnp.int8)
+    fb = jnp.zeros((n, geom.D, geom.R * geom.bs, ncols * geom.bs), jnp.int8)
     for s0 in range(0, n, chunk):
         s1 = min(s0 + chunk, n)
-        fb = _write(fb, _expand(jnp.asarray(limbs[s0:s1])), jnp.int32(s0))
+        fb = _write(fb, _expand(jnp.asarray(sel[s0:s1])), jnp.int32(s0))
     return fb
-
-
-def geometry_from_fb(fb_shape, mask_size: int, decomp_length: int, bits: int,
-                     drop_limbs: int, N: int) -> FBlockGeometry:
-    n, D, Rbs, CLbs = fb_shape
-    bs = 2 * N // D
-    return FBlockGeometry(n=n, N=N, bs=bs, nb=N // bs, D=D,
-                          C=mask_size + 1, R=Rbs // bs,
-                          L=CLbs // ((mask_size + 1) * bs),
-                          drop=drop_limbs, bits=bits)
 
 
 def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
                         decomp_length: int, log2_base: int, offset: int):
     """XLA scan over the CMux chain using the F-block key.
 
-    acc_a: (B, C, N) torus; fb: (n, D, R*bs, C*L*bs) int8; bara: (B, n).
-    Exact per-step semantics identical to bootstrap.mux_rotate with the same
-    drop_limbs.  Works on any backend (CPU tests use it directly); the Pallas
-    kernel in ops/pallas_rotate.py is the fused TPU version of this loop.
+    acc_a: (B, C, N) torus; fb: (n, D, R*bs, ncols*bs) int8; bara: (B, n).
+    Exact per-step semantics identical to bootstrap.mux_rotate on the same
+    (quantized) key.  Works on any backend (CPU tests use it directly); the
+    Pallas kernel in ops/pallas_rotate.py is the fused TPU version.
     """
     assert log2_base <= 8, "fblock path needs byte-sized gadget digits"
     B, C, N = acc_a.shape
-    nb, D, bs, L, R = geom.nb, geom.D, geom.bs, geom.L, geom.R
+    nb, D, bs, R = geom.nb, geom.D, geom.bs, geom.R
+    ncols = len(geom.cols)
     dtype = acc_a.dtype
 
     # dexp gather plan: for output block j, contraction block delta pulls
@@ -145,7 +149,7 @@ def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
     ji_safe = np.where(valid, ji, 0)
 
     def step(acc, xs):
-        fstep, bara_s = xs  # (D, R*bs, C*L*bs), (B,)
+        fstep, bara_s = xs  # (D, R*bs, ncols*bs), (B,)
         rot = poly.mul_by_monomial(acc, bara_s)
         t = rot - acc
         digits = poly.decompose(t, decomp_length, log2_base, geom.bits, offset)
@@ -157,10 +161,10 @@ def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
         fmat = fstep.reshape(D, R, bs, -1)
         fmat = jnp.moveaxis(fmat, 0, 1).reshape(R * D * bs, -1)
         prod = jnp.dot(dexp, fmat, preferred_element_type=jnp.int32)
-        prod = prod.reshape(B, nb, C, L, bs)
+        prod = prod.reshape(B, nb, ncols, bs)
         comb = jnp.zeros((B, nb, C, bs), dtype)
-        for m in range(L):
-            comb = comb + (prod[:, :, :, m].astype(dtype) << (8 * (m + geom.drop)))
+        for ci, (p, shift) in enumerate(geom.cols):
+            comb = comb.at[:, :, p].add(prod[:, :, ci].astype(dtype) << shift)
         delta_t = jnp.moveaxis(comb, 1, 2).reshape(B, C, N)
         return acc + delta_t, None
 

@@ -61,13 +61,25 @@ def extract_lwe_key(rlwe_key: RLweKey):
     return LweKey(rlwe_key.key.reshape(-1).astype(jnp.int32))
 
 
-def rlwe_encrypt_zero(key, alpha: float, rlwe_key: RLweKey, params: RLweParams, shape=()) -> RLweSample:
+def rlwe_encrypt_zero(key, alpha: float, rlwe_key: RLweKey, params: RLweParams,
+                      shape=(), mask_round_bits: int = 0,
+                      body_round_bits: int = 0) -> RLweSample:
     """Homogeneous sample: mask uniform, body = sum_j s_j (*) a_j + noise
     (rlwe.jl:110-137).
 
     Keygen-only (never jitted): sampling happens in jax, the exact polynomial
     products on the host via ops/hostmath so arbitrarily large batches of
     zero-encryptions stay cheap and bit-exact.
+
+    ``mask_round_bits``/``body_round_bits``: quantized-key generation — round
+    the mask to multiples of 2^mask_round_bits BEFORE computing the body (so
+    the sample stays an EXACT RLWE encryption whose mask low bytes are zero:
+    the F-block layout then drops those limbs losslessly), and round the
+    finished body to multiples of 2^body_round_bits (equivalent to extra body
+    noise of stddev 2^body_round_bits/sqrt(12), ~sigma_bk for one byte).
+    Security of the quantized mask is that of RLWE with modulus
+    2^(bits-mask_round_bits) at unchanged absolute noise — a strictly larger
+    noise-to-modulus ratio, i.e. a harder lattice instance.
     """
     import numpy as np
 
@@ -78,11 +90,19 @@ def rlwe_encrypt_zero(key, alpha: float, rlwe_key: RLweKey, params: RLweParams, 
     ka, kb = jax.random.split(key)
     k, N = params.mask_size, params.polynomial_degree
     a_mask = np.asarray(jax.device_get(trng.uniform_torus(ka, shape + (k, N), dtype)), npdt)
+    if mask_round_bits:
+        with np.errstate(over="ignore"):
+            a_mask = ((a_mask + npdt(1 << (mask_round_bits - 1)))
+                      >> mask_round_bits) << mask_round_bits
     noise = np.asarray(jax.device_get(trng.gaussian_torus(kb, 0, alpha, shape + (N,), dtype)), npdt)
     skey = np.asarray(jax.device_get(rlwe_key.key))
     body = noise
     for j in range(k):
         body = body + hostmath.negacyclic_polymul_host(skey[j], a_mask[..., j, :], params.bits)
+    if body_round_bits:
+        with np.errstate(over="ignore"):
+            body = ((body + npdt(1 << (body_round_bits - 1)))
+                    >> body_round_bits) << body_round_bits
     return RLweSample(jnp.asarray(np.concatenate([a_mask, body[..., None, :]], axis=-2)))
 
 

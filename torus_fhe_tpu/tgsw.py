@@ -47,18 +47,29 @@ register_dataclass(PackedTGsw, data_fields=("kernels",),
 
 
 def tgsw_encrypt(key, messages, alpha: float, rlwe_key: RLweKey,
-                 tgsw_params: TGswParams, rlwe_params: RLweParams) -> TGswSample:
+                 tgsw_params: TGswParams, rlwe_params: RLweParams,
+                 mask_round_bits: int = 0,
+                 body_round_bits: int = 0) -> TGswSample:
     """Encrypt int messages (shape ``shape``) as TGSW samples.
 
     tgsw_encrypt_zero + message * gadget on the block diagonal
     (tgsw.jl:63-109). ``messages`` has any leading shape; output gains
     (l, k+1, k+1, N) trailing dims.
+
+    Quantized-key generation (see rlwe_encrypt_zero): requires
+    mask_round_bits <= bits - l*log2B so the gadget bumps (multiples of the
+    smallest gadget value) preserve the mask's zero low bytes.
     """
     messages = jnp.asarray(messages)
     shape = messages.shape
     l = tgsw_params.decomp_length
     k = rlwe_params.mask_size
-    zero = rlwe_encrypt_zero(key, alpha, rlwe_key, rlwe_params, shape + (l, k + 1))
+    if mask_round_bits:
+        assert mask_round_bits <= tgsw_params.bits - l * tgsw_params.log2_base, \
+            "mask quantum must divide the smallest gadget value"
+    zero = rlwe_encrypt_zero(key, alpha, rlwe_key, rlwe_params, shape + (l, k + 1),
+                             mask_round_bits=mask_round_bits,
+                             body_round_bits=body_round_bits)
     a = zero.a  # (..., l, k+1, k+1, N)
     dtype = a.dtype
     gadget = jnp.asarray(tgsw_params.gadget_values, dtype)  # (l,)
