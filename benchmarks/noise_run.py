@@ -1,0 +1,61 @@
+"""Reference-scale statistical noise run: 1000 trials per parameter set.
+
+Reproduces the methodology of the reference's measurement suites
+(3-gen-mk-tfhe/measurements/test_suites/us_simplified/
+measurements_us_simplified_3.jl:66-117) and its committed artifacts
+(noise_results/mk-noises__parties-2_lambda-1001_pi-2_qw-2.dat — 1000 noise
+samples with |noise| <~ 0.027 against the 0.25 failure bound;
+log_1st_method_errors.log — wrong-decryption records).
+
+Writes .dat + .log artifacts into measurements/ at the repo root.
+
+Usage:
+    python benchmarks/noise_run.py [mk_2party_3gen|tfhe_128_tpu_fast|...] \
+        [trials] [--cpu]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    name = args[0] if args else "mk_2party_3gen"
+    trials = int(args[1]) if len(args) > 1 else 1000
+
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+        # the 64-bit-torus MK sets need real int64 (TPU runs are 32-bit only)
+        jax.config.update("jax_enable_x64", True)
+
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    outdir = os.path.join(here, "measurements")
+
+    from torus_fhe_tpu.core.params import PARAMETER_REGISTRY, SchemeParams3Gen
+    from torus_fhe_tpu.utils import noise
+
+    params = PARAMETER_REGISTRY[name]()
+    t0 = time.time()
+    if isinstance(params, SchemeParams3Gen):
+        rep = noise.measure_multikey(jax.random.PRNGKey(0), params,
+                                     params.max_parties, trials=trials)
+    else:
+        rep = noise.measure_single_key(jax.random.PRNGKey(0), params,
+                                       trials=trials)
+    tag = f"{name}_trials-{trials}"
+    rep.write_artifacts(outdir, tag)
+    print(rep.to_json())
+    print(f"artifacts: measurements/noises__{tag}.dat + log__{tag}.log "
+          f"[{time.time() - t0:.0f}s]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

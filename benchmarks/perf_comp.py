@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--n", type=int, default=16)
     ap.add_argument("--N", type=int, default=64)
     ap.add_argument("--schemes", nargs="+", default=["3gen", "ccs", "kms"])
+    ap.add_argument("--real", action="store_true",
+                    help="use the shipped production parameter sets from the "
+                         "registry (mk_{p}party_{scheme}) instead of tiny "
+                         "test sizes — the reference comparison regime "
+                         "(perf_comp.jl:103-143)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -69,22 +74,31 @@ def main():
 
     for parties in args.parties:
         setups = {}
+        from torus_fhe_tpu.core.params import PARAMETER_REGISTRY
+
+        def params_for(scheme):
+            if args.real:
+                return PARAMETER_REGISTRY[f"mk_{parties}party_{scheme}"]()
+            maker = {"3gen": test_parameters_3gen, "ccs": test_parameters_ccs,
+                     "kms": test_parameters_kms}[scheme]
+            return maker(parties=parties, n=args.n, N=args.N)
+
         if "3gen" in args.schemes:
-            p3 = test_parameters_3gen(parties=parties, n=args.n, N=args.N)
+            p3 = params_for("3gen")
             sks = [mk.mk_party_keygen(jax.random.PRNGKey(10 + p), p3)
                    for p in range(parties)]
             ck = mk.mk_cloud_keygen(jax.random.PRNGKey(9), sks, p3)
             gate = jax.jit(lambda x, y, _ck=ck: gates3gen.mk_gate_nand(_ck, x, y))
             setups["3gen"] = (p3, [s.lwe for s in sks], gate)
         if "ccs" in args.schemes:
-            pc = test_parameters_ccs(parties=parties, n=args.n, N=args.N)
+            pc = params_for("ccs")
             sks = [mccs.ccs_party_keygen(jax.random.PRNGKey(20 + p), pc)
                    for p in range(parties)]
             ck = mccs.ccs_cloud_keygen(jax.random.PRNGKey(19), sks, pc)
             gate = jax.jit(lambda x, y, _ck=ck: mccs.mk_gate_nand(_ck, x, y))
             setups["ccs"] = (pc, [s.lwe for s in sks], gate)
         if "kms" in args.schemes:
-            pk_ = test_parameters_kms(parties=parties, n=args.n, N=args.N)
+            pk_ = params_for("kms")
             sks = [mkms.kms_party_keygen(jax.random.PRNGKey(30 + p), pk_)
                    for p in range(parties)]
             ck = mkms.kms_cloud_keygen(jax.random.PRNGKey(29), sks, pk_)
@@ -100,7 +114,8 @@ def main():
             rows.append((parties, name, min(walls), statistics.median(walls),
                          B / min(walls), ok))
 
-    print(f"# device={jax.devices()[0]} batch={B} n={args.n} N={args.N}")
+    size = "registry(real)" if args.real else f"n={args.n} N={args.N}"
+    print(f"# device={jax.devices()[0]} batch={B} {size}")
     print(f"{'parties':>7s} {'scheme':>6s} {'min_s':>9s} {'median_s':>9s} "
           f"{'gates/s':>10s} {'correct':>7s}")
     for p, name, mn, md, thr, ok in rows:

@@ -142,6 +142,9 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, C, bt, N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((geom.nb, bt, Rbs), jnp.int8)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * nt * n * bt * Rbs * CLbs * geom.nb,

@@ -36,12 +36,35 @@ class NoiseReport:
     bk_bytes: int
     ks_bytes: int
     bootstrap_wall_s: float
+    boot_noises: np.ndarray | None = None  # raw per-trial bootstrapped noise
+    fresh_noises: np.ndarray | None = None
 
     def to_json(self) -> str:
-        return json.dumps(dataclasses.asdict(self))
+        d = dataclasses.asdict(self)
+        d.pop("boot_noises", None)
+        d.pop("fresh_noises", None)
+        return json.dumps(d)
+
+    def write_artifacts(self, directory: str, tag: str) -> None:
+        """Reference-style result files (noise_results/mk-noises__*.dat and
+        log_1st_method_errors.log): one bootstrapped-noise value per line,
+        wrong decryptions logged with full context."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        if self.boot_noises is not None:
+            with open(os.path.join(directory, f"noises__{tag}.dat"), "w") as f:
+                for v in np.asarray(self.boot_noises).ravel():
+                    f.write(f"{float(v):.17g}\n")
+        with open(os.path.join(directory, f"log__{tag}.log"), "w") as f:
+            f.write(f"# {tag}: {self.to_json()}\n")
+            for idx in self.wrong_indices:
+                noise = (float(np.asarray(self.boot_noises).ravel()[idx])
+                         if self.boot_noises is not None else float("nan"))
+                f.write(f"wrong_decryption trial={idx} noise={noise:.6g}\n")
 
 
-def measure_single_key(key, params, trials: int = 256) -> NoiseReport:
+def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
     """Single-key harness: NAND-style bootstrap noise over a trial batch."""
     from ..boot import api, gates
     from ..lwe import lwe_phase
@@ -72,10 +95,10 @@ def measure_single_key(key, params, trials: int = 256) -> NoiseReport:
     return NoiseReport(trials, float(fresh.std()), float(np.abs(fresh).max()),
                        float(boot.std()), float(np.abs(boot).max()),
                        int(wrong.size), wrong.tolist()[:16], bk_bytes, ks_bytes,
-                       wall)
+                       wall, boot_noises=boot, fresh_noises=fresh)
 
 
-def measure_multikey(key, params, parties: int, trials: int = 64) -> NoiseReport:
+def measure_multikey(key, params, parties: int, trials: int = 1000) -> NoiseReport:
     """Multikey 3gen harness (measurements_us_simplified_*: fresh +
     bootstrapped noise, error classes, BK/KSK sizes, timings)."""
     from .. import mk
@@ -106,4 +129,5 @@ def measure_multikey(key, params, parties: int, trials: int = 64) -> NoiseReport
     return NoiseReport(trials, float(fresh.std()), float(np.abs(fresh).max()),
                        float(boot.std()), float(np.abs(boot).max()),
                        int(wrong.size), wrong.tolist()[:16],
-                       ck.bk_kernels.nbytes, ck.ks_mat.nbytes, wall)
+                       ck.bk_kernels.nbytes, ck.ks_mat.nbytes, wall,
+                       boot_noises=boot, fresh_noises=fresh)
