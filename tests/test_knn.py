@@ -57,3 +57,27 @@ def test_abs_difference(keys):
     b = words.int_encrypt(jax.random.PRNGKey(6), sk, jnp.asarray([4, 11]), WIDTH)
     d = knn.abs_difference(ck, a, b, WIDTH)
     np.testing.assert_array_equal(words.int_decrypt(sk, d, WIDTH), [5, 9])
+
+
+def test_csv_pipeline(keys, tmp_path):
+    """CSV ingest + accuracy tally (inputDataSet + the accuracy loop,
+    src/KNN_medical_data.cpp:576-776) on a synthetic cardio-schema file."""
+    sk, ck = keys
+    csv = tmp_path / "data.csv"
+    header = ("id,age_days,age_year,gender,height,weight,ap_hi,ap_lo,"
+              "cholesterol,gluc,smoke,alco,active,cardio")
+    # two separable clusters in the (ap_hi, ap_lo) columns
+    rows = [
+        [0, 0, 0, 1, 0, 0, 30, 20, 1, 1, 0, 0, 1, 0],
+        [1, 0, 0, 2, 0, 0, 28, 22, 1, 1, 0, 0, 1, 0],
+        [3, 0, 0, 1, 0, 0, 2, 3, 3, 2, 1, 0, 0, 1],
+        [5, 0, 0, 1, 0, 0, 4, 3, 3, 2, 1, 1, 0, 1],  # test row: low-BP class
+    ]
+    csv.write_text(header + "\n" +
+                   "\n".join(",".join(map(str, r)) for r in rows) + "\n")
+    report = knn.run_pipeline(jax.random.PRNGKey(5), sk, ck, str(csv), k=1,
+                              width=7, train_rows=3, test_rows=1,
+                              feature_cols=[6, 7])
+    assert report["total"] == 1
+    assert report["predictions"][0] == 1
+    assert report["correct"] == 1

@@ -108,3 +108,21 @@ def test_mk_comparator(keys):
     assert bool(np.asarray(mk.mk_decrypt(lwe_keys, less)))
     grt = gates3gen.mk_greater(ck, c1, c2, one, WIDTH)
     assert not bool(np.asarray(mk.mk_decrypt(lwe_keys, grt)))
+
+
+def test_wb_gate_variants(keys):
+    """`_wb` gates (no bootstrap, 3gen_mk_gates.jl:16-21): on fresh inputs the
+    affine combination already decrypts to the gate output (sign decode)."""
+    sks, ck = keys
+    lwe_keys = [sk.lwe for sk in sks]
+    xs = jnp.array([False, False, True, True])
+    ys = jnp.array([False, True, False, True])
+    cx = mk.mk_encrypt(jax.random.PRNGKey(70), lwe_keys, xs, PARAMS)
+    cy = mk.mk_encrypt(jax.random.PRNGKey(71), lwe_keys, ys, PARAMS)
+    plain = {"nand": lambda a, b: ~(a & b), "or": lambda a, b: a | b,
+             "and": lambda a, b: a & b, "xor": lambda a, b: a ^ b}
+    for name, fn in gates3gen.BINARY_GATES_WB.items():
+        out = fn(ck, cx, cy)
+        dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
+        np.testing.assert_array_equal(
+            dec, plain[name](np.asarray(xs), np.asarray(ys)), err_msg=name)

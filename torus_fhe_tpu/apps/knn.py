@@ -105,3 +105,60 @@ def encrypt_dataset(key, sk: SecretKey, features: np.ndarray, labels: np.ndarray
     labs = words.int_encrypt(jax.random.fold_in(key, 1), sk,
                              jnp.asarray(labels), 1)
     return feats, labs
+
+
+def load_cardio_csv(path: str, train_rows: int = 5, test_rows: int = 1,
+                    feature_cols=None, label_col: int = -1):
+    """Parse the cardio CSV of KNN_medical_data (inputDataSet,
+    src/KNN_medical_data.cpp:582-647): a header line then integer rows
+    (floats truncate like the reference's ``ss >> x``). Column 0 is an id and
+    the last column the label by default. Returns (train_features,
+    train_labels, test_features, test_labels) int arrays.
+    """
+    rows = []
+    with open(path) as f:
+        header = f.readline()
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rows.append([int(float(w)) for w in line.split(",")])
+            if len(rows) == train_rows + test_rows:
+                break
+    data = np.asarray(rows, np.int64)
+    if feature_cols is None:
+        feature_cols = list(range(1, data.shape[1] - 1))
+    feats = data[:, feature_cols]
+    labels = data[:, label_col]
+    return (feats[:train_rows], labels[:train_rows],
+            feats[train_rows:], labels[train_rows:])
+
+
+def run_pipeline(key, sk: SecretKey, ck: CloudKey, csv_path: str, k: int = 5,
+                 width: int = 8, train_rows: int = 5, test_rows: int = 1,
+                 feature_cols=None, scale_shift: int = 0) -> dict:
+    """End-to-end encrypted-KNN accuracy pipeline
+    (src/KNN_medical_data.cpp:818-851 + accuracy tally :738-748): load the
+    CSV, encrypt train+test rows, predict every test row homomorphically,
+    decrypt, and tally accuracy against the plaintext labels.
+
+    ``scale_shift`` right-shifts features so max distances fit in ``width``
+    bits (the reference uses 32-bit words; small widths need coarser data).
+    """
+    tr_f, tr_l, te_f, te_l = load_cardio_csv(csv_path, train_rows, test_rows,
+                                             feature_cols)
+    tr_f = tr_f >> scale_shift
+    te_f = te_f >> scale_shift
+    feats, labs = encrypt_dataset(key, sk, tr_f, tr_l, width)
+    predictions = []
+    for i in range(te_f.shape[0]):
+        test_word = words.int_encrypt(jax.random.fold_in(key, 50 + i), sk,
+                                      jnp.asarray(te_f[i]), width)
+        decision = knn_predict(ck, feats, labs, test_word, k, width)
+        from ..boot import api as _api
+
+        predictions.append(int(np.asarray(_api.decrypt(sk, decision))))
+    correct = sum(int(p == int(t)) for p, t in zip(predictions, te_l))
+    return {"predictions": predictions, "labels": te_l.tolist(),
+            "correct": correct, "total": len(predictions),
+            "accuracy": correct / max(1, len(predictions))}

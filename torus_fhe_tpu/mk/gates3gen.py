@@ -77,8 +77,28 @@ def mk_gate_mux(ck: MKCloudKey, x, y, z) -> MKLweSample:
     return mk_keyswitch(ck, t3)
 
 
+def mk_gate_nand_wb(ck: MKCloudKey, x, y) -> MKLweSample:
+    """Affine part of NAND without the bootstrap — the reference's `_wb`
+    variants (3gen_mk_gates.jl:16-21), used for noise/timing experiments."""
+    return _trivial_like(ck, x, encode_message(1, 8)) - x - y
+
+
+def mk_gate_or_wb(ck: MKCloudKey, x, y) -> MKLweSample:
+    return _trivial_like(ck, x, encode_message(1, 8)) + x + y
+
+
+def mk_gate_and_wb(ck: MKCloudKey, x, y) -> MKLweSample:
+    return _trivial_like(ck, x, encode_message(-1, 8)) + x + y
+
+
+def mk_gate_xor_wb(ck: MKCloudKey, x, y) -> MKLweSample:
+    return _trivial_like(ck, x, encode_message(1, 4)) + (x + y).scale(2)
+
+
 BINARY_GATES = {"nand": mk_gate_nand, "or": mk_gate_or, "and": mk_gate_and,
                 "xor": mk_gate_xor}
+BINARY_GATES_WB = {"nand": mk_gate_nand_wb, "or": mk_gate_or_wb,
+                   "and": mk_gate_and_wb, "xor": mk_gate_xor_wb}
 
 
 # ---------------------------------------------------------------------------
