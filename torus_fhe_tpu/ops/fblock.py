@@ -104,6 +104,19 @@ def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
     sel = np.ascontiguousarray(sel)
     ncols = len(geom.cols)
 
+    if jax.default_backend() == "cpu":
+        # host fast path: windowed strided view + one gather of exactly the
+        # output size (no D*bs^2 index materialisation, ~10x faster)
+        selp = np.concatenate([sel, sel[:, :, :geom.bs]], axis=2)
+        W = np.lib.stride_tricks.sliding_window_view(selp, geom.bs, axis=2)
+        # W: (n, R, 2N+1, ncols, bs); starts[delta, p] = (bs*delta - p) % 2N
+        starts = ((geom.bs * np.arange(geom.D)[:, None]
+                   - np.arange(geom.bs)[None, :]) % (2 * geom.N))
+        g = W[:, :, starts]  # (n, R, D, p, ncols, q)
+        g = np.ascontiguousarray(g.transpose(0, 2, 1, 3, 4, 5))
+        return jnp.asarray(g.reshape(n, geom.D, geom.R * geom.bs,
+                                     ncols * geom.bs))
+
     idx = jnp.asarray(_delta_index(geom).reshape(-1))
 
     @jax.jit
