@@ -38,12 +38,20 @@ def main() -> None:
     from torus_fhe_tpu.core.params import (tfhe_parameters_128_tpu,
                                            tfhe_parameters_128_tpu_fast)
 
+    def log(msg):
+        print(f"[bench +{time.time() - T0:8.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+    T0 = time.time()
     params = (tfhe_parameters_128_tpu() if "--l3" in sys.argv
               else tfhe_parameters_128_tpu_fast())
     t0 = time.time()
     # F-block key form -> the fused Pallas blind-rotate kernel on TPU
+    log("keygen start")
     sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params, forms=("fblock",))
+    jax.block_until_ready(ck.bootstrap_key.fb)
     keygen_s = time.time() - t0
+    log(f"keygen done ({keygen_s:.1f}s)")
 
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     B = int(pos[0]) if pos else 4096
@@ -55,15 +63,18 @@ def main() -> None:
 
     step = jax.jit(gates.gate_and)
 
+    log("gate compile start")
     t0 = time.time()
     out = step(ck, cx, cy)
     out.b.block_until_ready()
     compile_s = time.time() - t0
+    log(f"gate compile done ({compile_s:.1f}s)")
 
     # correctness gate: don't benchmark garbage
     dec = np.asarray(api.decrypt(sk, out))
     want = np.asarray(xs) & np.asarray(ys)
     assert np.array_equal(dec, want), "bootsAND decrypt mismatch"
+    log("correctness gate passed; timing")
 
     # timed region
     iters = 4

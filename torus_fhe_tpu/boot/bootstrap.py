@@ -105,6 +105,18 @@ class _nullcontext:
         return False
 
 
+def _resolve_backend(bk: BootstrapKey, params: SchemeParams) -> str:
+    backend = _ROTATE_BACKEND
+    if backend == "auto":
+        if bk.fb is None:
+            backend = "scan"
+        elif params.rlwe_bits == 32:
+            backend = "pallas"
+        else:
+            backend = "fblock"
+    return backend
+
+
 def mux_rotate(accum: RLweSample, kernels_i, barai, params: SchemeParams) -> RLweSample:
     """accum += BK_i (*) [(X^bara_i - 1) * accum]  (bootstrap.jl:19-23)."""
     rotated = mul_by_monomial(accum, barai)
@@ -123,15 +135,8 @@ def blind_rotate(accum: RLweSample, bk: BootstrapKey, bara, params: SchemeParams
     "fblock"/"pallas" use the block-circulant key (see ops/fblock.py,
     ops/pallas_rotate.py) — same bit-exact semantics, MXU-matmul form.
     """
-    backend = _ROTATE_BACKEND
+    backend = _resolve_backend(bk, params)
     on_tpu = jax.devices()[0].platform == "tpu"
-    if backend == "auto":
-        if bk.fb is None:
-            backend = "scan"
-        elif params.rlwe_bits == 32:
-            backend = "pallas"
-        else:
-            backend = "fblock"
 
     if backend == "scan":
         assert bk.kernels is not None, "scan backend needs a conv-form BK"
@@ -186,9 +191,23 @@ def bootstrap_wo_keyswitch(bk: BootstrapKey, mu, x: LweSample, params: SchemePar
     B = int(np.prod(lead)) if lead else 1
     bara = decode_message(x.a, 2 * N).astype(jnp.int32).reshape(B, -1)
     barb = decode_message(x.b, 2 * N).astype(jnp.int32).reshape(B)
-    dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
-    testvect = jnp.full((N,), mu, dtype)
-    u = blind_rotate_and_extract(testvect, bk, barb, bara, params)
+    if (_resolve_backend(bk, params) == "pallas" and params.rlwe_bits == 32
+            and not isinstance(mu, jax.core.Tracer)):
+        # stepvec fast path: the [mu..mu] test vector is built in-kernel from
+        # barb, skipping the acc0 input block (2 MB VMEM at the 256-tile)
+        from ..ops.pallas_rotate import blind_rotate_pallas
+
+        geom = _bk_geometry(params)
+        tg = params.tgsw
+        acc_a = blind_rotate_pallas(
+            None, bk.fb, bara, geom, tg.decomp_length, tg.log2_base,
+            tg.offset, stepvec=(int(mu), barb),
+            interpret=jax.devices()[0].platform != "tpu")
+        u = rlwe_extract_sample(RLweSample(acc_a))
+    else:
+        dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
+        testvect = jnp.full((N,), mu, dtype)
+        u = blind_rotate_and_extract(testvect, bk, barb, bara, params)
     return LweSample(u.a.reshape(lead + u.a.shape[-1:]), u.b.reshape(lead))
 
 

@@ -16,10 +16,21 @@ automatic grid pipeline (double-buffered), and the per-step work is
 Grid = (batch tiles, n steps).  The output ref doubles as the accumulator
 (constant index per batch tile -> stays resident, written back once per tile).
 
+The batch tile is split into ``interleave`` independent sub-tiles whose
+rotate/decompose (VPU) and contraction (MXU) phases are interleaved in
+program order, exposing two independent dependence chains so the Mosaic
+scheduler can keep the MXU busy during the serial VPU work of the other
+sub-tile — the CMux chain is serial per gate, but sub-tiles are not.
+
+``stepvec_mu`` mode builds the initial accumulator in-kernel from barb (the
+noiseless [mu..mu] test vector rotated by X^-barb is a +-mu step function),
+dropping the (C, BT, N) acc0 input block and its VMEM residency — that 2 MB
+(at BT=256) is what lets the bigger tile fit in the ~16 MB VMEM budget.
+
 Semantics are bit-identical to ops/fblock.blind_rotate_fblock (tested on CPU
-via interpret mode); this kernel exists purely to keep the MXU at the roofline
-— reference hot loop being replaced: 3-gen-mk-tfhe/src/bootstrap.jl:19-45 +
-polynomials.jl:208-242.
+via interpret mode); this kernel exists purely to keep the MXU at the
+roofline — reference hot loop being replaced:
+3-gen-mk-tfhe/src/bootstrap.jl:19-45 + polynomials.jl:208-242.
 """
 
 from __future__ import annotations
@@ -43,87 +54,152 @@ def _negacyclic_roll(x, s: int):
     return jnp.concatenate([-x[..., N - s:], x[..., :N - s]], axis=-1)
 
 
-def _rotate_kernel(bara_ref, acc0_ref, fb_ref, out_ref, digits_ref, *,
+def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
                    geom: FBlockGeometry, decomp_length: int, log2_base: int,
-                   offset: int):
+                   offset: int, il: int, stepvec_mu):
     C, R = geom.C, geom.R
     nb, D, bs, N = geom.nb, geom.D, geom.bs, geom.N
     ncols = len(geom.cols)
     s = pl.program_id(1)
+    BT = out_ref.shape[2]
+    bts = BT // il
 
     @pl.when(s == 0)
     def _init():
-        out_ref[:] = acc0_ref[:]
+        if stepvec_mu is None:
+            out_ref[:] = init_ref[:]
+        else:
+            # acc0 = X^{-barb} * trivial([mu..mu]): mask polys zero, body poly
+            # (index C-1) is the +-mu step function of barb in [0, 2N).
+            t = init_ref[0].reshape(1, BT, 1) & (2 * N - 1)
+            w = jax.lax.broadcasted_iota(jnp.int32, (1, BT, N), 2)
+            tt = t & (N - 1)
+            pos = (w < (N - tt)) ^ (t >= N)
+            mu = jnp.int32(stepvec_mu)
+            body = jnp.where(pos, mu, -mu)
+            for c in range(C - 1):
+                out_ref[0, c] = jnp.zeros((BT, N), jnp.int32)
+            out_ref[0, C - 1] = jnp.broadcast_to(body[0], (BT, N))
 
-    acc = out_ref[0]  # (C, B, N) int32
-    # (1, B, 1) int32 so i1 masks are born 3-D (Mosaic can't reshape i1)
-    sh = bara_ref[0, pl.ds(s, 1), :].reshape(1, -1, 1) & (2 * N - 1)
-    x = acc
-    bit = 1
-    while bit < N:
-        rolled = _negacyclic_roll(x, bit)
-        x = jnp.where((sh & bit) != 0, rolled, x)
-        bit <<= 1
-    x = jnp.where((sh & N) != 0, -x, x)
-    t = x - acc  # (X^bara - 1) * acc
-    shifted = t + jnp.int32(offset)
-    mask = jnp.int32((1 << log2_base) - 1)
-    half = jnp.int32(1 << (log2_base - 1))
-    for lev in range(decomp_length):
-        d = ((shifted >> (32 - (lev + 1) * log2_base)) & mask) - half
-        d8 = d.astype(jnp.int8)  # (C, B, N)
-        for j in range(C):
-            r = lev * C + j
+    # full-width row load: Mosaic can't combine the dynamic sublane index s
+    # with a partial lane slice, so slice the loaded vector per sub-tile
+    bara_row = bara_ref[0, pl.ds(s, 1), :]  # (1, BT)
+
+    def rot_dec(sub: int):
+        """Barrel-rotate + gadget-decompose sub-tile ``sub`` into digits_ref."""
+        lo = sub * bts
+        acc = out_ref[0, :, lo:lo + bts, :]  # (C, bts, N) int32
+        # (1, bts, 1) int32 so i1 masks are born 3-D (Mosaic can't reshape i1)
+        sh = bara_row[:, lo:lo + bts].reshape(1, -1, 1) & (2 * N - 1)
+        x = acc
+        bit = 1
+        while bit < N:
+            rolled = _negacyclic_roll(x, bit)
+            x = jnp.where((sh & bit) != 0, rolled, x)
+            bit <<= 1
+        x = jnp.where((sh & N) != 0, -x, x)
+        shifted = (x - acc) + jnp.int32(offset)  # (X^bara - 1) * acc + offset
+        mask = jnp.int32((1 << log2_base) - 1)
+        half = jnp.int32(1 << (log2_base - 1))
+        for lev in range(decomp_length):
+            d = ((shifted >> (32 - (lev + 1) * log2_base)) & mask) - half
+            d8 = d.astype(jnp.int8)  # (C, bts, N)
+            for j in range(C):
+                r = lev * C + j
+                for i in range(nb):
+                    digits_ref[sub, i, :, r * bs:(r + 1) * bs] = \
+                        d8[j, :, i * bs:(i + 1) * bs]
+
+    def contract(sub: int):
+        """nb x nb block matmuls + limb combine for sub-tile ``sub``; the
+        combine for block j-1 is interleaved behind block j's dots."""
+        lo = sub * bts
+        pending = None
+        for j in range(nb):
+            acc32 = jnp.zeros((bts, ncols * bs), jnp.int32)
             for i in range(nb):
-                digits_ref[i, :, r * bs:(r + 1) * bs] = \
-                    d8[j, :, i * bs:(i + 1) * bs]
+                delta = (j - i) % D
+                acc32 = acc32 + jax.lax.dot_general(
+                    digits_ref[sub, i], fb_ref[0, delta],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            if pending is not None:
+                _combine(*pending)
+            pending = (lo, j, acc32)
+        _combine(*pending)
 
-    B = digits_ref.shape[1]
-    for j in range(nb):
-        acc32 = jnp.zeros((B, ncols * bs), jnp.int32)
-        for i in range(nb):
-            delta = (j - i) % D
-            acc32 = acc32 + jax.lax.dot_general(
-                digits_ref[i], fb_ref[0, delta],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    def _combine(lo: int, j: int, acc32):
         sl = pl.ds(j * bs, bs)
         for c in range(C):
-            comb = jnp.zeros((B, bs), jnp.int32)
+            comb = jnp.zeros((bts, bs), jnp.int32)
             for ci, (p, shift) in enumerate(geom.cols):
                 if p == c:
                     comb = comb + (acc32[:, ci * bs:(ci + 1) * bs] << shift)
-            cur = out_ref[0, c, :, sl]
-            out_ref[0, c, :, sl] = cur + comb
+            cur = out_ref[0, c, lo:lo + bts, sl]
+            out_ref[0, c, lo:lo + bts, sl] = cur + comb
+
+    # Interleaved program order: each sub-tile's VPU phase is followed by its
+    # MXU phase; the next sub-tile's VPU phase is independent of the previous
+    # sub-tile's MXU phase, so the scheduler overlaps them.
+    for sub in range(il):
+        rot_dec(sub)
+        contract(sub)
+
+
+def _pad_batch(arrs, B: int, bt: int):
+    pad = (-B) % bt
+    if not pad:
+        return arrs, 0
+    out = []
+    for a in arrs:
+        out.append(jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0))
+    return out, pad
 
 
 def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
                         decomp_length: int, log2_base: int, offset: int,
-                        *, b_tile: int = 128, interpret: bool = False):
-    """Fused CMux chain. acc_a: (B, C, N) int32; fb: (n, D, R*bs, ncols*bs)
-    int8; bara: (B, n) int32. Returns (B, C, N) int32. B is padded to a
-    multiple of b_tile; each tile re-streams the full F-block key
-    (compute-bound for b_tile >= ~128 at the shipped 128-bit set)."""
+                        *, b_tile: int = 256, interleave: int = 2,
+                        stepvec=None, interpret: bool = False):
+    """Fused CMux chain. fb: (n, D, R*bs, ncols*bs) int8; bara: (B, n) int32.
+
+    Init modes: ``acc_a`` (B, C, N) int32 explicit accumulator, or
+    ``stepvec=(mu, barb)`` with barb (B,) int32 and static int mu — the
+    gate-bootstrap test vector built in-kernel (acc_a must be None).
+    Returns (B, C, N) int32. B is padded to a multiple of b_tile; each tile
+    re-streams the full F-block key (compute-bound for tiles >= ~128 at the
+    shipped 128-bit set)."""
     assert geom.bits == 32, "pallas rotate implements the 32-bit torus path"
-    B, C, N = acc_a.shape
+    C, N = geom.C, geom.N
     n = geom.n
     ncols = len(geom.cols)
+    B = bara.shape[0]
     bt = min(b_tile, max(8, B))
-    pad = (-B) % bt
-    if pad:
-        acc_a = jnp.concatenate(
-            [acc_a, jnp.zeros((pad, C, N), acc_a.dtype)], axis=0)
-        bara = jnp.concatenate(
-            [bara, jnp.zeros((pad, n), bara.dtype)], axis=0)
+    il = interleave if bt % interleave == 0 and bt >= 8 * interleave else 1
+    mu = None
+    if stepvec is not None:
+        assert acc_a is None
+        mu, barb = stepvec
+        mu = int(mu)
+        (bara, barb), pad = _pad_batch([bara, jnp.asarray(barb, jnp.int32)],
+                                       B, bt)
+        init_t = barb.reshape(-1, bt)  # (nt, bt)
+        init_spec = pl.BlockSpec((1, bt), lambda b, s: (b, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        (bara, acc_a), pad = _pad_batch([bara, acc_a], B, bt)
+        acc_t = jnp.swapaxes(acc_a, 0, 1).reshape(C, -1, bt, N)
+        init_t = jnp.swapaxes(acc_t, 0, 1)  # (nt, C, bt, N)
+        init_spec = pl.BlockSpec((1, C, bt, N), lambda b, s: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     nt = (B + pad) // bt
 
-    acc_t = jnp.swapaxes(acc_a, 0, 1).reshape(C, nt, bt, N)
-    acc_t = jnp.swapaxes(acc_t, 0, 1)  # (nt, C, bt, N)
     bara_t = jnp.swapaxes(bara, 0, 1).reshape(n, nt, bt)
     bara_t = jnp.swapaxes(bara_t, 0, 1)  # (nt, n, bt)
 
     kern = functools.partial(
         _rotate_kernel, geom=geom, decomp_length=decomp_length,
-        log2_base=log2_base, offset=offset)
+        log2_base=log2_base, offset=offset, il=il, stepvec_mu=mu)
 
     Rbs = geom.R * geom.bs
     CLbs = ncols * geom.bs
@@ -133,15 +209,14 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
         in_specs=[
             pl.BlockSpec((1, n, bt), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, bt, N), lambda b, s: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            init_spec,
             pl.BlockSpec((1, geom.D, Rbs, CLbs), lambda b, s: (s, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, C, bt, N), lambda b, s: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, C, bt, N), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((geom.nb, bt, Rbs), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((il, geom.nb, bt // il, Rbs), jnp.int8)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -151,7 +226,7 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
             bytes_accessed=n * geom.D * Rbs * CLbs + nt * C * bt * N * 8,
             transcendentals=0,
         ),
-    )(bara_t, acc_t, fb)
+    )(bara_t, init_t, fb)
 
     out = jnp.swapaxes(out, 0, 1).reshape(C, nt * bt, N)
     out = jnp.swapaxes(out, 0, 1)
