@@ -37,7 +37,7 @@ class BootstrapKey(NamedTuple):
     """
 
     kernels: Optional[jax.Array] = None  # (n, (k+1)*limbs, l*(k+1), N) int8
-    fb: Optional[jax.Array] = None  # (n, D, R*bs, (k+1)*L*bs) int8
+    fb: Optional[jax.Array] = None  # (n, D*R*bs, (k+1)*L*bs) int8, seq order
 
 
 _ROTATE_BACKEND = "auto"  # "auto" | "scan" | "fblock" | "pallas"

@@ -22,8 +22,12 @@ def _trivial_like(ck: CloudKey, x: LweSample, mu):
     return lwe_noiseless_trivial(mu, ck.params.lwe, x.b.shape)
 
 
-_EIGHTH = lambda s: encode_message(s, 8)
-_QUARTER = lambda s: encode_message(s, 4)
+# plain Python ints precomputed at import (outside any trace): keeps the
+# bootstrap test-vector mu static so the pallas stepvec path engages under jit
+_EIGHTHS = {s: int(encode_message(s, 8)) for s in (-1, 1)}
+_QUARTERS = {s: int(encode_message(s, 4)) for s in (-1, 1)}
+_EIGHTH = _EIGHTHS.__getitem__
+_QUARTER = _QUARTERS.__getitem__
 
 
 def gate_nand(ck: CloudKey, x: LweSample, y: LweSample) -> LweSample:

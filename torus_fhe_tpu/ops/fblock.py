@@ -83,15 +83,28 @@ def _delta_index(geom: FBlockGeometry) -> np.ndarray:
     return ((geom.bs * d + q - p) % (2 * geom.N)).astype(np.int32)
 
 
+def seq_perm(D: int) -> np.ndarray:
+    """Reverse-cyclic delta ordering: seq[m] = delta-block[(-m) mod D].
+
+    In this order, the kernel rows needed for output block j — blocks
+    delta=(j-i) mod D for digit blocks i = 0..nb-1 — sit at consecutive
+    positions m = (i-j) mod D, so each output block's contraction is one or
+    two *contiguous* long-K matmuls instead of nb short ones (MXU-internal
+    accumulation replaces nb-1 VPU adds per block).
+    """
+    return (-np.arange(D)) % D
+
+
 def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
                   chunk: int = 16) -> jax.Array:
     """Build the F-block key from raw TGSW samples.
 
     samples: (n, l, C, C, N) torus ints (host numpy); samples[s, i, j, c] is
     output-poly c of RLWE row (digit-level i, poly j) of step s's TGSW sample
-    (matching tgsw.TGswSample layout).  Returns (n, D, R*bs, ncols*bs) int8 on
-    the default device; the gather/transpose runs on-device in step chunks so
-    only the compact ext-limb tensor crosses the transfer boundary.
+    (matching tgsw.TGswSample layout).  Returns (n, D*R*bs, ncols*bs) int8 on
+    the default device, with delta blocks in ``seq_perm`` order along the row
+    axis; the gather/transpose runs on-device in step chunks so only the
+    compact ext-limb tensor crosses the transfer boundary.
     """
     n, l, C, C2, N = samples.shape
     assert (C, N, l * C) == (geom.C, geom.N, geom.R) and C == C2
@@ -104,20 +117,22 @@ def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
     sel = np.ascontiguousarray(sel)
     ncols = len(geom.cols)
 
+    perm = seq_perm(geom.D)
+
     if jax.default_backend() == "cpu":
         # host fast path: windowed strided view + one gather of exactly the
         # output size (no D*bs^2 index materialisation, ~10x faster)
         selp = np.concatenate([sel, sel[:, :, :geom.bs]], axis=2)
         W = np.lib.stride_tricks.sliding_window_view(selp, geom.bs, axis=2)
-        # W: (n, R, 2N+1, ncols, bs); starts[delta, p] = (bs*delta - p) % 2N
-        starts = ((geom.bs * np.arange(geom.D)[:, None]
+        # W: (n, R, 2N+1, ncols, bs); starts[m, p] = (bs*perm[m] - p) % 2N
+        starts = ((geom.bs * perm[:, None]
                    - np.arange(geom.bs)[None, :]) % (2 * geom.N))
-        g = W[:, :, starts]  # (n, R, D, p, ncols, q)
+        g = W[:, :, starts]  # (n, R, m, p, ncols, q)
         g = np.ascontiguousarray(g.transpose(0, 2, 1, 3, 4, 5))
-        return jnp.asarray(g.reshape(n, geom.D, geom.R * geom.bs,
+        return jnp.asarray(g.reshape(n, geom.D * geom.R * geom.bs,
                                      ncols * geom.bs))
 
-    idx = jnp.asarray(_delta_index(geom).reshape(-1))
+    idx = jnp.asarray(_delta_index(geom)[perm].reshape(-1))
 
     @jax.jit
     def _expand(lchunk):
@@ -125,15 +140,15 @@ def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
         g = jnp.take(lchunk, idx, axis=-2)  # (cs, R, D*bs*bs, ncols)
         cs = lchunk.shape[0]
         g = g.reshape(cs, geom.R, geom.D, geom.bs, geom.bs, ncols)
-        g = g.transpose(0, 2, 1, 3, 5, 4)  # (cs, D, R, p, ncols, q)
-        return g.reshape(cs, geom.D, geom.R * geom.bs, ncols * geom.bs)
+        g = g.transpose(0, 2, 1, 3, 5, 4)  # (cs, m, R, p, ncols, q)
+        return g.reshape(cs, geom.D * geom.R * geom.bs, ncols * geom.bs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def _write(fb, block, start):
         zero = jnp.zeros((), start.dtype)
-        return lax.dynamic_update_slice(fb, block, (start, zero, zero, zero))
+        return lax.dynamic_update_slice(fb, block, (start, zero, zero))
 
-    fb = jnp.zeros((n, geom.D, geom.R * geom.bs, ncols * geom.bs), jnp.int8)
+    fb = jnp.zeros((n, geom.D * geom.R * geom.bs, ncols * geom.bs), jnp.int8)
     for s0 in range(0, n, chunk):
         s1 = min(s0 + chunk, n)
         fb = _write(fb, _expand(jnp.asarray(sel[s0:s1])), jnp.int32(s0))
@@ -144,16 +159,18 @@ def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
                         decomp_length: int, log2_base: int, offset: int):
     """XLA scan over the CMux chain using the F-block key.
 
-    acc_a: (B, C, N) torus; fb: (n, D, R*bs, ncols*bs) int8; bara: (B, n).
-    Exact per-step semantics identical to bootstrap.mux_rotate on the same
-    (quantized) key.  Works on any backend (CPU tests use it directly); the
-    Pallas kernel in ops/pallas_rotate.py is the fused TPU version.
+    acc_a: (B, C, N) torus; fb: (n, D*R*bs, ncols*bs) int8 in seq_perm order;
+    bara: (B, n). Exact per-step semantics identical to bootstrap.mux_rotate
+    on the same (quantized) key.  Works on any backend (CPU tests use it
+    directly); the Pallas kernel in ops/pallas_rotate.py is the fused TPU
+    version.
     """
     assert log2_base <= 8, "fblock path needs byte-sized gadget digits"
     B, C, N = acc_a.shape
     nb, D, bs, R = geom.nb, geom.D, geom.bs, geom.R
     ncols = len(geom.cols)
     dtype = acc_a.dtype
+    perm = jnp.asarray(seq_perm(D))  # seq[m] = block[(-m)%D] (involution)
 
     # dexp gather plan: for output block j, contraction block delta pulls
     # digit block i = (j - delta) mod D, valid only when i < nb.
@@ -162,7 +179,7 @@ def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
     ji_safe = np.where(valid, ji, 0)
 
     def step(acc, xs):
-        fstep, bara_s = xs  # (D, R*bs, ncols*bs), (B,)
+        fstep, bara_s = xs  # (D*R*bs, ncols*bs), (B,)
         rot = poly.mul_by_monomial(acc, bara_s)
         t = rot - acc
         digits = poly.decompose(t, decomp_length, log2_base, geom.bits, offset)
@@ -171,7 +188,7 @@ def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
         g = d8[:, :, ji_safe, :]  # (B, R, j, delta, bs)
         g = jnp.where(valid[None, None, :, :, None], g, 0)
         dexp = jnp.moveaxis(g, 2, 1).reshape(B * nb, R * D * bs)
-        fmat = fstep.reshape(D, R, bs, -1)
+        fmat = fstep.reshape(D, R, bs, -1)[perm]  # back to delta order
         fmat = jnp.moveaxis(fmat, 0, 1).reshape(R * D * bs, -1)
         prod = jnp.dot(dexp, fmat, preferred_element_type=jnp.int32)
         prod = prod.reshape(B, nb, ncols, bs)

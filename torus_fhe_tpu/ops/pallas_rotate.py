@@ -59,6 +59,7 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
                    offset: int, il: int, stepvec_mu):
     C, R = geom.C, geom.R
     nb, D, bs, N = geom.nb, geom.D, geom.bs, geom.N
+    Rbs = R * bs
     ncols = len(geom.cols)
     s = pl.program_id(1)
     BT = out_ref.shape[2]
@@ -71,7 +72,7 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
         else:
             # acc0 = X^{-barb} * trivial([mu..mu]): mask polys zero, body poly
             # (index C-1) is the +-mu step function of barb in [0, 2N).
-            t = init_ref[0].reshape(1, BT, 1) & (2 * N - 1)
+            t = init_ref[0, 0].reshape(1, BT, 1) & (2 * N - 1)
             w = jax.lax.broadcasted_iota(jnp.int32, (1, BT, N), 2)
             tt = t & (N - 1)
             pos = (w < (N - tt)) ^ (t >= N)
@@ -107,20 +108,28 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
             for j in range(C):
                 r = lev * C + j
                 for i in range(nb):
-                    digits_ref[sub, i, :, r * bs:(r + 1) * bs] = \
+                    digits_ref[sub, :, i * Rbs + r * bs:
+                               i * Rbs + (r + 1) * bs] = \
                         d8[j, :, i * bs:(i + 1) * bs]
 
     def contract(sub: int):
-        """nb x nb block matmuls + limb combine for sub-tile ``sub``; the
-        combine for block j-1 is interleaved behind block j's dots."""
+        """Per output block j: the fb rows for digit blocks i = 0..nb-1 are
+        seq positions m = (i-j) mod D — contiguous in the seq-ordered key, so
+        the whole nb-block contraction is 1-2 long-K matmuls (MXU-internal
+        accumulation). The combine for block j-1 hides behind block j's dot."""
         lo = sub * bts
         pending = None
         for j in range(nb):
-            acc32 = jnp.zeros((bts, ncols * bs), jnp.int32)
-            for i in range(nb):
-                delta = (j - i) % D
+            m0 = (-j) % D
+            len1 = min(nb, D - m0)
+            acc32 = jax.lax.dot_general(
+                digits_ref[sub, :, :len1 * Rbs],
+                fb_ref[0, m0 * Rbs:(m0 + len1) * Rbs, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            if len1 < nb:
                 acc32 = acc32 + jax.lax.dot_general(
-                    digits_ref[sub, i], fb_ref[0, delta],
+                    digits_ref[sub, :, len1 * Rbs:],
+                    fb_ref[0, :(nb - len1) * Rbs, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
             if pending is not None:
@@ -161,7 +170,8 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
                         decomp_length: int, log2_base: int, offset: int,
                         *, b_tile: int = 256, interleave: int = 2,
                         stepvec=None, interpret: bool = False):
-    """Fused CMux chain. fb: (n, D, R*bs, ncols*bs) int8; bara: (B, n) int32.
+    """Fused CMux chain. fb: (n, D*R*bs, ncols*bs) int8 (seq_perm delta
+    order, see ops/fblock.seq_perm); bara: (B, n) int32.
 
     Init modes: ``acc_a`` (B, C, N) int32 explicit accumulator, or
     ``stepvec=(mu, barb)`` with barb (B,) int32 and static int mu — the
@@ -183,8 +193,10 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
         mu = int(mu)
         (bara, barb), pad = _pad_batch([bara, jnp.asarray(barb, jnp.int32)],
                                        B, bt)
-        init_t = barb.reshape(-1, bt)  # (nt, bt)
-        init_spec = pl.BlockSpec((1, bt), lambda b, s: (b, 0),
+        # (nt, 1, bt): the block (1, 1, bt) covers full trailing dims, which
+        # satisfies the Mosaic (8, 128)-divisible-or-full block rule
+        init_t = barb.reshape(-1, 1, bt)
+        init_spec = pl.BlockSpec((1, 1, bt), lambda b, s: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         (bara, acc_a), pad = _pad_batch([bara, acc_a], B, bt)
@@ -210,13 +222,13 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
             pl.BlockSpec((1, n, bt), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             init_spec,
-            pl.BlockSpec((1, geom.D, Rbs, CLbs), lambda b, s: (s, 0, 0, 0),
+            pl.BlockSpec((1, geom.D * Rbs, CLbs), lambda b, s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, C, bt, N), lambda b, s: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nt, C, bt, N), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((il, geom.nb, bt // il, Rbs), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((il, bt // il, geom.nb * Rbs), jnp.int8)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -71,3 +71,30 @@ def replicate_cloud_key(ck, mesh: Mesh):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host bring-up (the Distributed.jl `addprocs` analog,
+    3-gen-mk-tfhe/VolumeMatching.jl:1-8): call once per host before building
+    meshes; afterwards ``jax.devices()`` spans every host over DCN and
+    `make_mesh` needs no changes.
+
+    Arguments default to the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); on a
+    single process (no env, no args) this is a no-op returning False so
+    single-host flows never pay coordination setup.
+    """
+    import os
+
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = num_processes if num_processes is not None else \
+        int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
+    if addr is None and nproc in (0, 1):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr, num_processes=nproc or None,
+        process_id=process_id if process_id is not None
+        else int(os.environ.get("JAX_PROCESS_ID", "0")))
+    return True
