@@ -46,12 +46,33 @@ def main() -> None:
     params = (tfhe_parameters_128_tpu() if "--l3" in sys.argv
               else tfhe_parameters_128_tpu_fast())
     t0 = time.time()
-    # F-block key form -> the fused Pallas blind-rotate kernel on TPU
-    log("keygen start")
-    sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params, forms=("fblock",))
+    # F-block key form -> the fused Pallas blind-rotate kernel on TPU.
+    # Keys round-trip through the compact serialized form (utils/serialize):
+    # cold starts after the first run skip the ~20-40s keygen entirely.
+    from torus_fhe_tpu.utils import serialize
+
+    tag = "l3" if "--l3" in sys.argv else "fast"
+    sk_path = os.path.join(cache_dir, f"bench_sk_{tag}.npz")
+    ck_path = os.path.join(cache_dir, f"bench_ck_{tag}.npz")
+    sk = None
+    if (os.path.exists(sk_path) and os.path.exists(ck_path)
+            and "--fresh-key" not in sys.argv):
+        log("loading cached key")
+        sk = serialize.load_secret_key(sk_path)
+        if sk.params != params:  # stale cache from an older parameter rev
+            log("cached key params stale; regenerating")
+            sk = None
+        else:
+            ck = serialize.load_cloud_key(ck_path, forms=("fblock",))
+    if sk is None:
+        log("keygen start")
+        sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params,
+                                   forms=("fblock",))
+        serialize.save_secret_key(sk_path, sk)
+        serialize.save_cloud_key(ck_path, ck)
     jax.block_until_ready(ck.bootstrap_key.fb)
     keygen_s = time.time() - t0
-    log(f"keygen done ({keygen_s:.1f}s)")
+    log(f"key ready ({keygen_s:.1f}s)")
 
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     B = int(pos[0]) if pos else 4096

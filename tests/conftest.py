@@ -23,6 +23,28 @@ assert all(d.platform == "cpu" for d in jax.devices()), jax.devices()
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run production-size tests marked @slow")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: production-parameter test (skipped unless --runslow or "
+        "RUN_SLOW=1 in the environment); the fast default subset covers the "
+        "same code paths at reduced sizes")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: production-size; use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Drop compiled executables between test modules.

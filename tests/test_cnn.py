@@ -56,10 +56,6 @@ def test_extract_patches_free(keys):
     pats = cnn.extract_patches(ct, 2)
     assert pats.b.shape[:4] == (WIDTH, 4, 2, 2)
     got = words.int_decrypt(sk, pats, WIDTH)  # (4, 2, 2)
-    want = np.stack([
-        np.asarray(image)[m:m + 2, n:n + 2]
-        for m in range(2) for n in range(2)
-    ]).reshape(4, 2, 2).transpose(0, 1, 2)
     # patch t at (i, j) is image[i+m, j+n] with t = m*2+n
     for t, (m, n) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
         np.testing.assert_array_equal(

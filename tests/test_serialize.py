@@ -33,6 +33,37 @@ def test_key_and_ciphertext_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(api.decrypt(sk2, out)), np.asarray(msgs))
 
 
+def test_cloud_key_fast_form_roundtrip(tmp_path):
+    """Saved keys are compact (raw TGSW samples); load rebuilds the requested
+    MXU form(s) — incl. the F-block fast form — bit-identically to keygen's."""
+    from torus_fhe_tpu.boot import bootstrap
+
+    sk, ck = api.make_key_pair(jax.random.PRNGKey(3), PARAMS,
+                               forms=("conv", "fblock"))
+    path = str(tmp_path / "cloud.key")
+    ser.save_cloud_key(path, ck)
+
+    ck2 = ser.load_cloud_key(path)  # default: forms recorded at save
+    assert ck2.bootstrap_key.kernels is not None
+    assert ck2.bootstrap_key.fb is not None
+    np.testing.assert_array_equal(np.asarray(ck2.bootstrap_key.kernels),
+                                  np.asarray(ck.bootstrap_key.kernels))
+    np.testing.assert_array_equal(np.asarray(ck2.bootstrap_key.fb),
+                                  np.asarray(ck.bootstrap_key.fb))
+
+    ck_fb = ser.load_cloud_key(path, forms=("fblock",))
+    assert ck_fb.bootstrap_key.kernels is None
+    msgs = jnp.array([True, False])
+    ct = api.encrypt(jax.random.PRNGKey(4), sk, msgs)
+    bootstrap.set_rotate_backend("fblock")
+    try:
+        out = gates.gate_nand(ck_fb, ct, ct)
+    finally:
+        bootstrap.set_rotate_backend("auto")
+    np.testing.assert_array_equal(np.asarray(api.decrypt(sk, out)),
+                                  ~np.asarray(msgs))
+
+
 def test_share_set_roundtrip(tmp_path):
     key = np.random.default_rng(0).integers(0, 2, (1, 32)).astype(np.int32)
     repo = sh.share_secret_streaming(key, 2, 4, jax.random.PRNGKey(2))

@@ -33,11 +33,16 @@ class BootstrapKey(NamedTuple):
     - ``kernels``: conv-backend int8 limb kernels (ops/poly.pack_kernels_host)
       driving the lax.scan blind rotate ("scan" backend);
     - ``fb``: block-circulant F-block layout (ops/fblock.build_fblocks)
-      driving the fblock/pallas backends — the fast path on TPU.
+      driving the fblock/pallas backends — the fast path on TPU;
+    - ``samples``: the compact raw TGSW samples (n, l, k+1, k+1, N) torus ints
+      (~20 MB at the 128-bit set vs ~3.3 GB for ``fb``) — the serialization
+      form (utils/serialize.save_cloud_key); either MXU form can be rebuilt
+      from it on load, the reference's tfhe_io role (src/KeyGen.cpp:41-51).
     """
 
     kernels: Optional[jax.Array] = None  # (n, (k+1)*limbs, l*(k+1), N) int8
     fb: Optional[jax.Array] = None  # (n, D*R*bs, (k+1)*L*bs) int8, seq order
+    samples: Optional[jax.Array] = None  # (n, l, k+1, k+1, N) torus
 
 
 _ROTATE_BACKEND = "auto"  # "auto" | "scan" | "fblock" | "pallas"
@@ -94,7 +99,27 @@ def bootstrap_keygen(key, alpha: float, lwe_key: LweKey, rlwe_key: RLweKey,
             else _nullcontext()
         with ctx:
             fb = fblock.build_fblocks(samples, geom)
-    return BootstrapKey(kernels, fb)
+    return BootstrapKey(kernels, fb, gsw.samples)
+
+
+def rebuild_bk_forms(samples, params: SchemeParams, forms=("conv",),
+                     fblock_device=None) -> BootstrapKey:
+    """Rebuild the MXU key form(s) from compact TGSW ``samples`` — the load
+    half of serialization (see BootstrapKey.samples)."""
+    drop = getattr(params, "bk_drop_limbs", 0)
+    samples = jnp.asarray(samples)
+    kernels = None
+    fb = None
+    if "conv" in forms:
+        kernels = pack_tgsw(TGswSample(samples), params.tgsw, drop).kernels
+    if "fblock" in forms:
+        geom = _bk_geometry(params)
+        host = np.asarray(jax.device_get(samples))
+        ctx = jax.default_device(fblock_device) if fblock_device is not None \
+            else _nullcontext()
+        with ctx:
+            fb = fblock.build_fblocks(host, geom)
+    return BootstrapKey(kernels, fb, samples)
 
 
 class _nullcontext:
@@ -191,7 +216,8 @@ def bootstrap_wo_keyswitch(bk: BootstrapKey, mu, x: LweSample, params: SchemePar
     B = int(np.prod(lead)) if lead else 1
     bara = decode_message(x.a, 2 * N).astype(jnp.int32).reshape(B, -1)
     barb = decode_message(x.b, 2 * N).astype(jnp.int32).reshape(B)
-    if (_resolve_backend(bk, params) == "pallas" and params.rlwe_bits == 32
+    if (_resolve_backend(bk, params) == "pallas" and bk.fb is not None
+            and params.rlwe_bits == 32
             and not isinstance(mu, jax.core.Tracer)):
         # stepvec fast path: the [mu..mu] test vector is built in-kernel from
         # barb, skipping the acc0 input block (2 MB VMEM at the 256-tile)

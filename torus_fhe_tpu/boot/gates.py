@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.torus import encode_message
 from ..lwe import LweSample, lwe_noiseless_trivial
 from .api import CloudKey
 from .bootstrap import bootstrap, bootstrap_wo_keyswitch
@@ -22,10 +21,19 @@ def _trivial_like(ck: CloudKey, x: LweSample, mu):
     return lwe_noiseless_trivial(mu, ck.params.lwe, x.b.shape)
 
 
+def _encode_static(mu: int, message_space: int) -> int:
+    """Pure-Python twin of core.torus.encode_message for int32: computed
+    without touching jnp so importing this module never initialises the JAX
+    backend (platform selection stays with the caller)."""
+    log2_ms = message_space.bit_length() - 1
+    v = (mu << (32 - log2_ms)) & 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
 # plain Python ints precomputed at import (outside any trace): keeps the
 # bootstrap test-vector mu static so the pallas stepvec path engages under jit
-_EIGHTHS = {s: int(encode_message(s, 8)) for s in (-1, 1)}
-_QUARTERS = {s: int(encode_message(s, 4)) for s in (-1, 1)}
+_EIGHTHS = {s: _encode_static(s, 8) for s in (-1, 1)}
+_QUARTERS = {s: _encode_static(s, 4) for s in (-1, 1)}
 _EIGHTH = _EIGHTHS.__getitem__
 _QUARTER = _QUARTERS.__getitem__
 

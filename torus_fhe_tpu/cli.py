@@ -34,12 +34,13 @@ def _keygen(args) -> int:
 
     params = PARAMETER_REGISTRY[args.params]()
     key = jax.random.PRNGKey(args.seed)
+    forms = tuple(args.forms.split(","))
     t0 = time.time()
-    sk, ck = api.make_key_pair(key, params)
+    sk, ck = api.make_key_pair(key, params, forms=forms)
     serialize.save_secret_key(args.secret, sk)
     serialize.save_cloud_key(args.cloud, ck)
-    print(f"keygen({args.params}) -> {args.secret}, {args.cloud} "
-          f"[{time.time() - t0:.1f}s]")
+    print(f"keygen({args.params}, forms={args.forms}) -> {args.secret}, "
+          f"{args.cloud} [{time.time() - t0:.1f}s]")
     return 0
 
 
@@ -61,7 +62,8 @@ def _eval(args) -> int:
     from .boot import gates
     from .utils import serialize
 
-    ck = serialize.load_cloud_key(args.cloud)
+    forms = tuple(args.forms.split(",")) if args.forms else None
+    ck = serialize.load_cloud_key(args.cloud, forms=forms)
     a = serialize.load_lwe(args.a)
     b = serialize.load_lwe(args.b) if args.b else None
     op = {"and": gates.gate_and, "or": gates.gate_or, "xor": gates.gate_xor,
@@ -196,6 +198,11 @@ def main(argv=None) -> int:
     k.add_argument("--secret", default="secret.key.npz")
     k.add_argument("--cloud", default="cloud.key.npz")
     k.add_argument("--seed", type=int, default=0)
+    k.add_argument("--forms", default="conv",
+                   help="comma-separated bootstrapping-key forms to "
+                        "materialise: conv (scan backend) and/or fblock "
+                        "(fast Pallas path on TPU); the saved key is compact "
+                        "either way and eval rebuilds these forms on load")
     k.set_defaults(fn=_keygen)
 
     e = sub.add_parser("encrypt", help="bitwise-encrypt an integer")
@@ -212,6 +219,9 @@ def main(argv=None) -> int:
     v.add_argument("b", nargs="?")
     v.add_argument("--cloud", default="cloud.key.npz")
     v.add_argument("--out", default="out.npz")
+    v.add_argument("--forms", default=None,
+                   help="override the BK form(s) to rebuild from the key "
+                        "file (default: the forms recorded at keygen)")
     v.set_defaults(fn=_eval)
 
     d = sub.add_parser("decrypt", help="decrypt an integer word")

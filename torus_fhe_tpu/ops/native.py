@@ -23,7 +23,16 @@ def _find_lib():
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(here, "native", "libtorus_native.so")
     if not os.path.exists(path):
-        return None
+        # build on first use (the .so is not checked in); any failure -> numpy
+        try:
+            import subprocess
+
+            subprocess.run(["make", "-C", os.path.join(here, "native")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+        if not os.path.exists(path):
+            return None
     try:
         lib = ctypes.CDLL(path)
         lib.torus_native_version.restype = ctypes.c_int32

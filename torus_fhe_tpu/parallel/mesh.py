@@ -38,9 +38,22 @@ def make_mesh(n_batch: int | None = None, n_party: int = 1,
 
     With ``n_batch=None`` all remaining devices go to the batch axis.
     """
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     if n_batch is None:
         n_batch = len(devices) // n_party
+    if not explicit and n_batch * n_party == len(devices):
+        # ICI-topology-aware layout: on a real TPU slice a naive reshape of
+        # jax.devices() can straddle rings; create_device_mesh orders axes so
+        # neighbouring mesh coordinates are ICI neighbours.
+        try:
+            from jax.experimental import mesh_utils
+
+            use = mesh_utils.create_device_mesh((n_batch, n_party),
+                                                devices=devices)
+            return Mesh(use, (BATCH_AXIS, PARTY_AXIS))
+        except Exception:
+            pass  # heterogeneous/virtual platforms: fall through
     use = np.asarray(devices[: n_batch * n_party]).reshape(n_batch, n_party)
     return Mesh(use, (BATCH_AXIS, PARTY_AXIS))
 
@@ -93,8 +106,13 @@ def init_distributed(coordinator_address: str | None = None,
         int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
     if addr is None and nproc in (0, 1):
         return False
+    if process_id is None:
+        env_pid = os.environ.get("JAX_PROCESS_ID")
+        # leave None when unset: jax.distributed.initialize auto-detects where
+        # the launcher provides it, and raises a clear error otherwise —
+        # defaulting to 0 here would make every host claim process 0 and hang.
+        process_id = int(env_pid) if env_pid is not None else None
     jax.distributed.initialize(
         coordinator_address=addr, num_processes=nproc or None,
-        process_id=process_id if process_id is not None
-        else int(os.environ.get("JAX_PROCESS_ID", "0")))
+        process_id=process_id)
     return True

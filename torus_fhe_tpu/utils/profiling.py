@@ -85,14 +85,26 @@ def summarize_trace(logdir: str, top: int = 15) -> dict:
         events = data.get("traceEvents", [])
         # find process ids whose name says device/XLA Ops
         dev_pids = set()
+        op_tids = {}  # pid -> set of op-lane tids (excludes Modules/Steps)
         for ev in events:
-            if ev.get("ph") == "M" and ev.get("name") == "process_name":
-                nm = ev.get("args", {}).get("name", "")
+            if ev.get("ph") != "M":
+                continue
+            nm = ev.get("args", {}).get("name", "")
+            if ev.get("name") == "process_name":
                 if any(k in nm for k in ("TPU", "XLA Ops", "Device",
                                          "/device:")):
                     dev_pids.add(ev.get("pid"))
+            elif ev.get("name") == "thread_name":
+                # 'XLA Modules'/'Steps' lanes span the per-op events on the
+                # 'XLA Ops'/TensorCore lanes; counting them double-counts.
+                if any(k in nm for k in ("XLA Ops", "TensorCore", "Ops")) \
+                        and "Module" not in nm and "Step" not in nm:
+                    op_tids.setdefault(ev.get("pid"), set()).add(ev.get("tid"))
         for ev in events:
             if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
+                tids = op_tids.get(ev.get("pid"))
+                if tids is not None and ev.get("tid") not in tids:
+                    continue  # an enclosing Modules/Steps span, not an op
                 op_us[ev.get("name", "?")] += float(ev.get("dur", 0.0))
     total = sum(op_us.values())
     by_op = sorted(op_us.items(), key=lambda kv: -kv[1])[:top]

@@ -66,6 +66,40 @@ def load(path: str):
     return meta["kind"], leaves, params
 
 
+def save_named(path: str, kind: str, mapping: dict, params=None,
+               extra_meta: dict | None = None) -> None:
+    """Serialize a flat {name: array} mapping (None values skipped), with
+    optional JSON-able ``extra_meta``. Robust to optional fields, unlike the
+    positional `save` layout."""
+    payload = {}
+    names = []
+    for name, v in mapping.items():
+        if v is None:
+            continue
+        payload[f"k_{name}"] = np.asarray(jax.device_get(v))
+        names.append(name)
+    meta = {"schema": _SCHEMA, "kind": kind, "names": names}
+    if params is not None:
+        meta["params"] = _params_to_json(params)
+    if extra_meta:
+        meta["extra"] = extra_meta
+    payload["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **payload)
+
+
+def load_named(path: str):
+    """Returns (kind, {name: np.ndarray}, params_or_None, extra_meta)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        assert meta["schema"] == _SCHEMA, meta
+        if "names" not in meta:
+            raise ValueError(f"{path} is a positional-format file, not named")
+        arrs = {name: z[f"k_{name}"] for name in meta["names"]}
+        params = _params_from_json(meta["params"]) if "params" in meta else None
+    return meta["kind"], arrs, params, meta.get("extra", {})
+
+
 def save_secret_key(path: str, sk) -> None:
     save(path, "secret_key", sk.key, params=sk.params)
 
@@ -80,24 +114,52 @@ def load_secret_key(path: str):
 
 
 def save_cloud_key(path: str, ck) -> None:
-    save(path, "cloud_key",
-         {"bk": ck.bootstrap_key.kernels, "ks": ck.keyswitch_key.mat,
-          "ks_meta": np.array([ck.keyswitch_key.n_in, ck.keyswitch_key.n_out])},
-         params=ck.params)
+    """Store the *compact* cloud key: keyswitch table + raw TGSW samples
+    (~20 MB at the 128-bit set). Either MXU form — conv kernels or the
+    F-block/Pallas layout — is rebuilt from the samples on load, so a saved
+    key drives the fast TPU path after a round-trip (the reference's tfhe_io
+    role, src/KeyGen.cpp:41-51). Records which forms were materialised at
+    save time as the default rebuild set."""
+    bk = ck.bootstrap_key
+    forms = [f for f, v in (("conv", bk.kernels), ("fblock", bk.fb))
+             if v is not None]
+    mapping = {"ks": ck.keyswitch_key.mat,
+               "ks_meta": np.array([ck.keyswitch_key.n_in,
+                                    ck.keyswitch_key.n_out])}
+    if bk.samples is not None:
+        mapping["samples"] = bk.samples
+    else:  # legacy keys built before the samples form existed
+        assert bk.kernels is not None, \
+            "cloud key has neither samples nor conv kernels"
+        mapping["bk"] = bk.kernels
+        forms = ["conv"]
+    save_named(path, "cloud_key", mapping, params=ck.params,
+               extra_meta={"forms": forms})
 
 
-def load_cloud_key(path: str):
+def load_cloud_key(path: str, forms=None, fblock_device=None):
+    """Load a cloud key, rebuilding the requested MXU form(s) from the
+    compact samples (default: the forms that were materialised at save).
+    ``fblock_device``: where to expand the F-block form (the expanded key is
+    ~3.3 GB — build it where it will be used)."""
     import jax.numpy as jnp
 
     from ..boot.api import CloudKey
-    from ..boot.bootstrap import BootstrapKey
+    from ..boot.bootstrap import BootstrapKey, rebuild_bk_forms
     from ..boot.keyswitch import KeyswitchKey
 
-    kind, leaves, params = load(path)
+    kind, arrs, params, extra = load_named(path)
     assert kind == "cloud_key", kind
-    bk, ks, ks_meta = leaves
-    return CloudKey(params, BootstrapKey(jnp.asarray(bk)),
-                    KeyswitchKey(jnp.asarray(ks), int(ks_meta[0]), int(ks_meta[1])))
+    ksk = KeyswitchKey(jnp.asarray(arrs["ks"]), int(arrs["ks_meta"][0]),
+                       int(arrs["ks_meta"][1]))
+    if "samples" in arrs:
+        forms = tuple(forms if forms is not None
+                      else extra.get("forms") or ("conv",))
+        bk = rebuild_bk_forms(arrs["samples"], params, forms=forms,
+                              fblock_device=fblock_device)
+    else:
+        bk = BootstrapKey(jnp.asarray(arrs["bk"]))
+    return CloudKey(params, bk, ksk)
 
 
 def save_lwe(path: str, sample, params=None) -> None:
