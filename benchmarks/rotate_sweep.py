@@ -51,28 +51,32 @@ def main():
 
     ref = None
     for cfg in args.configs.split(","):
-        bt, il = (int(v) for v in cfg.split(":"))
+        parts = [int(v) for v in cfg.split(":")]
+        bt, il = parts[0], parts[1]
+        un = parts[2] if len(parts) > 2 else 1
 
-        @functools.partial(jax.jit, static_argnums=(3, 4))
-        def fn(fb, bara_, barb_, bt_, il_):
+        @functools.partial(jax.jit, static_argnums=(3, 4, 5))
+        def fn(fb, bara_, barb_, bt_, il_, un_):
             return blind_rotate_pallas(
                 None, fb, bara_, geom, tg.decomp_length, tg.log2_base,
-                tg.offset, b_tile=bt_, interleave=il_, stepvec=(mu, barb_))
+                tg.offset, b_tile=bt_, interleave=il_, unroll=un_,
+                stepvec=(mu, barb_))
 
-        fn = functools.partial(fn, ck.bootstrap_key.fb, bara, barb, bt, il)
+        fn = functools.partial(fn, ck.bootstrap_key.fb, bara, barb, bt, il,
+                               un)
         try:
             t0 = time.time()
             out = jax.block_until_ready(fn())
             compile_s = time.time() - t0
         except Exception as e:
-            print(f"bt={bt:4d} il={il}: FAILED {str(e)[:160]}", flush=True)
+            print(f"bt={bt:4d} il={il} U={un}: FAILED {str(e)[:160]}", flush=True)
             continue
         if ref is None:
             ref = np.asarray(out[:64])
         else:
             ok = np.array_equal(np.asarray(out[:64]), ref)
             if not ok:
-                print(f"bt={bt:4d} il={il}: MISMATCH vs first config!",
+                print(f"bt={bt:4d} il={il} U={un}: MISMATCH vs first config!",
                       flush=True)
         t0 = time.time()
         for _ in range(args.iters):
@@ -80,7 +84,7 @@ def main():
         _ = float(jnp.sum(out[0]))  # device->host fetch: tunnel-proof timing
         jax.block_until_ready(out)
         dt = (time.time() - t0) / args.iters
-        print(f"bt={bt:4d} il={il}: {B / dt:9.1f} rot/s  "
+        print(f"bt={bt:4d} il={il} U={un}: {B / dt:9.1f} rot/s  "
               f"({dt * 1e3:7.1f} ms/batch, compile {compile_s:.1f}s)",
               flush=True)
 

@@ -126,3 +126,64 @@ def test_wb_gate_variants(keys):
         dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
         np.testing.assert_array_equal(
             dec, plain[name](np.asarray(xs), np.asarray(ys)), err_msg=name)
+
+
+@pytest.fixture(scope="module")
+def keys_fb():
+    sks = [mk.mk_party_keygen(jax.random.PRNGKey(40 + p), PARAMS)
+           for p in range(2)]
+    ck = mk.mk_cloud_keygen(jax.random.PRNGKey(5), sks, PARAMS,
+                            forms=("conv", "fblock"), keep_samples=True)
+    return sks, ck
+
+
+def test_fb_hi_word_exactness(keys_fb):
+    """The 32-bit F-block rotate over the hi-word-rounded key must equal the
+    64-bit scan over the SAME rounded key bit-for-bit in the hi word (the
+    Torus32-granularity commutation argument in keys3gen.hi_round_samples)."""
+    from torus_fhe_tpu.boot.bootstrap import BootstrapKey, blind_rotate_and_extract
+    from torus_fhe_tpu.core.torus import t64_to_t32
+    from torus_fhe_tpu.mk import boot3gen
+    from torus_fhe_tpu.mk.keys3gen import hi_round_samples
+    from torus_fhe_tpu.ops import poly
+
+    sks, ck = keys_fb
+    rng = np.random.default_rng(0)
+    B = 4
+    n_steps = ck.parties * PARAMS.lwe_size
+    bara = jnp.asarray(rng.integers(
+        0, 2 * PARAMS.rlwe_polynomial_degree, (B, n_steps), dtype=np.int64),
+        jnp.int32)
+    barb = jnp.asarray(rng.integers(
+        0, 2 * PARAMS.rlwe_polynomial_degree, (B,), dtype=np.int64), jnp.int32)
+    mu = jnp.asarray(1 << 61, jnp.int64)
+
+    # fast path on the rounded key
+    u_fast = boot3gen._fast_rotate_extract(ck, mu, bara, barb, B)
+
+    # 64-bit scan over conv kernels packed from the SAME rounded samples
+    hi = hi_round_samples(np.asarray(jax.device_get(ck.bk_samples)))
+    rounded64 = hi.astype(np.int64) << 32
+    kern = rounded64.reshape(n_steps, PARAMS.gsw_decomp_length * 2, 2,
+                             PARAMS.rlwe_polynomial_degree)
+    packed = poly.pack_kernels_host(kern, 64)
+    bk64 = BootstrapKey(jnp.asarray(packed))
+    tv = jnp.full((PARAMS.rlwe_polynomial_degree,), mu, jnp.int64)
+    u_scan = blind_rotate_and_extract(tv, bk64, barb, bara, PARAMS)
+
+    np.testing.assert_array_equal(np.asarray(u_fast.a), np.asarray(u_scan.a))
+    np.testing.assert_array_equal(np.asarray(u_fast.b), np.asarray(u_scan.b))
+
+
+def test_fb_gate_truth_table(keys_fb):
+    """mk_gate_nand through the fast F-block path decrypts correctly."""
+    sks, ck = keys_fb
+    lwe_keys = [sk.lwe for sk in sks]
+    xs = jnp.array([False, False, True, True])
+    ys = jnp.array([False, True, False, True])
+    cx = mk.mk_encrypt(jax.random.PRNGKey(6), lwe_keys, xs, PARAMS)
+    cy = mk.mk_encrypt(jax.random.PRNGKey(7), lwe_keys, ys, PARAMS)
+    assert ck.bk_fb is not None
+    out = gates3gen.mk_gate_nand(ck, cx, cy)
+    dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
+    np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))

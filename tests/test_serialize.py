@@ -72,3 +72,53 @@ def test_share_set_roundtrip(tmp_path):
     assert repo2.t == 2 and repo2.p == 4
     for k, v in repo.shares.items():
         np.testing.assert_array_equal(repo2.shares[k], v)
+
+
+def test_mk_cloud_key_roundtrips(tmp_path):
+    """All three MK schemes' cloud keys round-trip through files; the 3gen
+    key rebuilds both MXU forms from the compact samples (tfhe_io parity,
+    src/KeyGen.cpp:41-51)."""
+    from torus_fhe_tpu import mk
+    from torus_fhe_tpu.core.params import (test_parameters_3gen,
+                                           test_parameters_ccs,
+                                           test_parameters_kms)
+    from torus_fhe_tpu.mk import ccs, kms
+
+    p3 = test_parameters_3gen(2, n=16, N=64)
+    sks = [mk.mk_party_keygen(jax.random.PRNGKey(60 + p), p3)
+           for p in range(2)]
+    ck = mk.mk_cloud_keygen(jax.random.PRNGKey(61), sks, p3,
+                            forms=("conv", "fblock"), keep_samples=True)
+    path = str(tmp_path / "mk3gen.key")
+    ser.save_mk_cloud_key(path, ck)
+    ck2 = ser.load_mk_cloud_key(path)
+    np.testing.assert_array_equal(np.asarray(ck2.bk_kernels),
+                                  np.asarray(ck.bk_kernels))
+    np.testing.assert_array_equal(np.asarray(ck2.bk_fb),
+                                  np.asarray(ck.bk_fb))
+    assert ck2.parties == 2 and ck2.params == p3
+
+    pc = test_parameters_ccs(2, n=16, N=64)
+    csks = [ccs.ccs_party_keygen(jax.random.PRNGKey(70 + p), pc)
+            for p in range(2)]
+    cck = ccs.ccs_cloud_keygen(jax.random.PRNGKey(71), csks, pc)
+    path = str(tmp_path / "ccs.key")
+    ser.save_ccs_cloud_key(path, cck)
+    cck2 = ser.load_ccs_cloud_key(path)
+    for f in ("d_kern", "f0_kern", "f1_kern", "pk_kern", "sk_kern",
+              "ks_mats"):
+        np.testing.assert_array_equal(np.asarray(getattr(cck2, f)),
+                                      np.asarray(getattr(cck, f)))
+    assert cck2.params == pc
+
+    pk = test_parameters_kms(2, n=16, N=64)
+    ksks = [kms.kms_party_keygen(jax.random.PRNGKey(80 + p), pk)
+            for p in range(2)]
+    kck = kms.kms_cloud_keygen(jax.random.PRNGKey(81), ksks, pk)
+    path = str(tmp_path / "kms.key")
+    ser.save_kms_cloud_key(path, kck)
+    kck2 = ser.load_kms_cloud_key(path)
+    for f in ("gsw_kern", "d_kern", "ks_mats"):
+        np.testing.assert_array_equal(np.asarray(getattr(kck2, f)),
+                                      np.asarray(getattr(kck, f)))
+    assert kck2.params == pk

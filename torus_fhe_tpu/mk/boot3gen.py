@@ -32,18 +32,66 @@ from .samples import MKLweSample
 
 def mk_bootstrap_wo_keyswitch(ck: MKCloudKey, mu, x: MKLweSample) -> LweSample:
     """Mod-switch the (parties, n) mask and blind-rotate the [mu..mu] test
-    vector through all parties' CMux steps (3gen_mk_internals.jl:99-109)."""
+    vector through all parties' CMux steps (3gen_mk_internals.jl:99-109).
+
+    Fast path: when the cloud key carries the hi-word-rounded F-block form
+    (keys3gen.mk_fb_supported), the whole 64-bit rotate runs as the 32-bit
+    fused Pallas kernel / fblock scan over parties*n steps — the extracted
+    sample equals t64_to_t32 of the 64-bit accumulator exactly, so the
+    keyswitch below is unchanged."""
     params = ck.params
     N = params.rlwe_polynomial_degree
     lead = x.b.shape  # arbitrary leading (batch) shape, () included
     B = int(np.prod(lead)) if lead else 1
     bara = decode_message(x.a, 2 * N).astype(jnp.int32).reshape(B, -1)  # party-major
     barb = decode_message(x.b, 2 * N).astype(jnp.int32).reshape(B)
-    dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
-    testvect = jnp.full((N,), mu, dtype)
-    bk = BootstrapKey(ck.bk_kernels)
-    u = blind_rotate_and_extract(testvect, bk, barb, bara, params)
+
+    from ..boot.bootstrap import get_rotate_backend
+
+    if ck.bk_fb is not None and get_rotate_backend() != "scan":
+        u = _fast_rotate_extract(ck, mu, bara, barb, B)
+    else:
+        dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
+        testvect = jnp.full((N,), mu, dtype)
+        bk = BootstrapKey(ck.bk_kernels)
+        u = blind_rotate_and_extract(testvect, bk, barb, bara, params)
     return LweSample(u.a.reshape(lead + u.a.shape[-1:]), u.b.reshape(lead))
+
+
+def _fast_rotate_extract(ck: MKCloudKey, mu, bara, barb, B: int) -> LweSample:
+    """32-bit hi-word blind rotate over the rounded F-block key + extract."""
+    from ..core.params import TGswParams
+    from ..ops import fblock
+    from ..rlwe import RLweSample, rlwe_extract_sample
+    from .keys3gen import mk_fb_geometry
+
+    params = ck.params
+    geom = mk_fb_geometry(params, ck.parties)
+    tg32 = TGswParams(params.gsw_decomp_length, params.gsw_log2_base, 32)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # mu is a multiple of 2^32 (l*log2B <= 31): its hi word is exact
+    mu_static = None
+    if not isinstance(mu, jax.core.Tracer):
+        mu_static = int(np.asarray(jax.device_get(mu)).reshape(())) >> 32
+
+    if on_tpu and mu_static is not None:
+        from ..ops.pallas_rotate import blind_rotate_pallas
+
+        acc = blind_rotate_pallas(
+            None, ck.bk_fb, bara, geom, tg32.decomp_length, tg32.log2_base,
+            tg32.offset, stepvec=(mu_static, barb))
+    else:
+        from ..ops import poly
+
+        mu32 = (jnp.asarray(mu, jnp.int64) >> 32).astype(jnp.int32)
+        tv = jnp.broadcast_to(mu32, (B, geom.N))
+        tv = poly.mul_by_monomial(tv, -barb)
+        acc0 = jnp.zeros((B, geom.C, geom.N), jnp.int32)
+        acc0 = acc0.at[:, geom.C - 1].set(tv)
+        acc = fblock.blind_rotate_fblock(
+            acc0, ck.bk_fb, bara, geom, tg32.decomp_length, tg32.log2_base,
+            tg32.offset)
+    return rlwe_extract_sample(RLweSample(acc))
 
 
 def mk_keyswitch(ck: MKCloudKey, u: LweSample) -> MKLweSample:

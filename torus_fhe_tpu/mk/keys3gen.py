@@ -133,16 +133,59 @@ def tgsw_encrypt_3gen(key, messages, common_b, crp_a, params: SchemeParams3Gen):
 class MKCloudKey:
     """Assembled multikey cloud key (MKCloudKey, mk_api.jl:440-474):
     packed blind-rotate kernels over parties×n CMux steps plus the stacked
-    per-party keyswitch tables."""
+    per-party keyswitch tables.
 
-    bk_kernels: jax.Array  # (parties*n, 2*limbs, l*2, N) int8
-    ks_mat: jax.Array  # (K, parties*(n+1)*4) int8 — party-concatenated tables
+    ``bk_fb`` is the fast TPU form: the 64-bit-torus BK *hi-word rounded* to
+    Torus32 granularity and laid out as a 32-bit F-block key (see
+    hi_round_samples) — drives the fused Pallas kernel. ``bk_samples`` keeps
+    the compact raw TGSW samples for serialization (utils/serialize)."""
+
+    bk_kernels: jax.Array = None  # (parties*n, 2*limbs, l*2, N) int8
+    ks_mat: jax.Array = None  # (K, parties*(n+1)*4) int8 — party-concat tables
     parties: int = 1
     params: SchemeParams3Gen = None
+    bk_fb: jax.Array = None  # (parties*n, D*R*bs, 8*bs) int8, 32-bit geometry
+    bk_samples: jax.Array = None  # (parties*n, l, 2, 2, N) torus64
 
 
-register_dataclass(MKCloudKey, data_fields=("bk_kernels", "ks_mat"),
+register_dataclass(MKCloudKey,
+                   data_fields=("bk_kernels", "ks_mat", "bk_fb", "bk_samples"),
                    meta_fields=("parties", "params"))
+
+
+def mk_fb_supported(params: SchemeParams3Gen) -> bool:
+    """The hi-word F-block trick needs every gadget value to be a multiple of
+    2^32 (l*log2B <= 31, so Torus32 rounding commutes with the gadget) and
+    byte-sized digits (log2B <= 8, the Pallas kernel's row format). Holds for
+    the shipped 2/3/4/8-party 3gen sets; the Bg=2^26 large-party sets use the
+    conv scan."""
+    l, B = params.gsw_decomp_length, params.gsw_log2_base
+    return params.rlwe_bits == 64 and l * B <= 31 and B <= 8
+
+
+def mk_fb_geometry(params: SchemeParams3Gen, parties: int):
+    """32-bit F-block geometry over the parties*n CMux steps."""
+    from ..ops import fblock
+
+    return fblock.fblock_geometry(
+        parties * params.lwe_size, params.rlwe_polynomial_degree,
+        params.rlwe_mask_size, params.gsw_decomp_length, 32, 0)
+
+
+def hi_round_samples(samples: np.ndarray) -> np.ndarray:
+    """Round Torus64 TGSW samples to the nearest multiple of 2^32 and keep the
+    top word as Torus32.
+
+    When l*log2B <= 31 every gadget value, the decomposition offset, and the
+    [mu..mu] test vector are multiples of 2^32, so the entire 64-bit blind
+    rotate over the rounded key IS a 32-bit computation in the hi word —
+    bit-exactly (tests/test_mk3gen.py asserts this against the 64-bit scan on
+    the same rounded key). The rounding itself perturbs each BK entry by
+    uniform +-2^-33, i.e. sigma = 2^-32/sqrt(12) ~ 0.15x the sets' own
+    sigma_bk = 2^-30.7 — a ~1% noise-stddev increase, measured in
+    measurements/ (VERDICT r2 item 3 methodology)."""
+    u = np.asarray(samples).astype(np.uint64)
+    return ((u + (1 << 31)) >> np.uint64(32)).astype(np.uint32).view(np.int32)
 
 
 class MKSecretKey(NamedTuple):
@@ -162,13 +205,23 @@ def mk_party_keygen(key, params: SchemeParams3Gen) -> MKSecretKey:
 
 
 def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
-                    params: SchemeParams3Gen, device=None) -> MKCloudKey:
+                    params: SchemeParams3Gen, device=None,
+                    forms=("conv",), keep_samples: bool = False) -> MKCloudKey:
     """Full AKÖ cloud-key pipeline (multikey_3gen.jl:19-32):
-    CRP → pubkeys → common pubkey → per-party BK parts (packed) → KSKs."""
+    CRP → pubkeys → common pubkey → per-party BK parts (packed) → KSKs.
+
+    ``forms``: "conv" packs the scan-backend kernels; "fblock" additionally
+    builds the hi-word-rounded 32-bit F-block key (the fast Pallas path on
+    TPU; requires mk_fb_supported(params)). ``keep_samples`` retains the
+    compact raw samples for serialization."""
     from ..core.params import TGswParams
+    from ..ops import fblock
 
     parties = len(secret_keys)
     assert parties <= params.max_parties
+    if "fblock" in forms:
+        assert mk_fb_supported(params), \
+            "fblock form needs l*log2B <= 31 and log2B <= 8 (use conv)"
     with on_host():
         kc, kb, kk = jax.random.split(key, 3)
         crp = gen_crp(kc, params)
@@ -179,15 +232,19 @@ def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
         tgsw_params = TGswParams(params.gsw_decomp_length, params.gsw_log2_base,
                                  params.rlwe_bits)
         kernels = []
+        all_samples = []
         for p, sk in enumerate(secret_keys):
             bits = np.asarray(jax.device_get(sk.lwe.key), np.int64)
             samples = tgsw_encrypt_3gen(jax.random.fold_in(kb, p), bits,
                                         common.b, crp.a, params)
-            # pack each key bit's TGSW into MXU conv kernels
-            kern = samples.reshape(samples.shape[0],
-                                   samples.shape[1] * 2, 2, samples.shape[-1])
-            kernels.append(poly.pack_kernels_host(kern, params.rlwe_bits))
-        bk = np.concatenate(kernels, axis=0)  # (parties*n, C*L, R, N)
+            all_samples.append(samples)
+            if "conv" in forms:
+                # pack each key bit's TGSW into MXU conv kernels
+                kern = samples.reshape(samples.shape[0],
+                                       samples.shape[1] * 2, 2,
+                                       samples.shape[-1])
+                kernels.append(poly.pack_kernels_host(kern, params.rlwe_bits))
+        bk = np.concatenate(kernels, axis=0) if kernels else None
 
         mats = []
         for p, sk in enumerate(secret_keys):
@@ -197,7 +254,24 @@ def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
         # (K, parties*(n+1)*4): one shared one-hot, party-concatenated outputs
         ks_mat = np.concatenate(mats, axis=1)
 
-    ck = MKCloudKey(jnp.asarray(bk), jnp.asarray(ks_mat), parties, params)
+    samples_cat = np.concatenate(all_samples, axis=0)  # (parties*n, l, 2, 2, N)
+    fb = None
+    if "fblock" in forms:
+        geom = mk_fb_geometry(params, parties)
+        ctx = jax.default_device(device) if device is not None else _nullctx()
+        with ctx:
+            fb = fblock.build_fblocks(hi_round_samples(samples_cat), geom)
+    ck = MKCloudKey(jnp.asarray(bk) if bk is not None else None,
+                    jnp.asarray(ks_mat), parties, params, fb,
+                    jnp.asarray(samples_cat) if keep_samples else None)
     if jax.devices()[0].platform != "cpu":
         ck = to_device(ck, device)
     return ck
+
+
+class _nullctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -56,7 +56,7 @@ def _negacyclic_roll(x, s: int):
 
 def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
                    geom: FBlockGeometry, decomp_length: int, log2_base: int,
-                   offset: int, il: int, stepvec_mu):
+                   offset: int, il: int, stepvec_mu, unroll: int = 1):
     C, R = geom.C, geom.R
     nb, D, bs, N = geom.nb, geom.D, geom.bs, geom.N
     Rbs = R * bs
@@ -82,11 +82,7 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
                 out_ref[0, c] = jnp.zeros((BT, N), jnp.int32)
             out_ref[0, C - 1] = jnp.broadcast_to(body[0], (BT, N))
 
-    # full-width row load: Mosaic can't combine the dynamic sublane index s
-    # with a partial lane slice, so slice the loaded vector per sub-tile
-    bara_row = bara_ref[0, pl.ds(s, 1), :]  # (1, BT)
-
-    def rot_dec(sub: int):
+    def rot_dec(sub: int, bara_row):
         """Barrel-rotate + gadget-decompose sub-tile ``sub`` into digits_ref."""
         lo = sub * bts
         acc = out_ref[0, :, lo:lo + bts, :]  # (C, bts, N) int32
@@ -112,7 +108,7 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
                                i * Rbs + (r + 1) * bs] = \
                         d8[j, :, i * bs:(i + 1) * bs]
 
-    def contract(sub: int):
+    def contract(sub: int, u: int):
         """Per output block j: the fb rows for digit blocks i = 0..nb-1 are
         seq positions m = (i-j) mod D — contiguous in the seq-ordered key, so
         the whole nb-block contraction is 1-2 long-K matmuls (MXU-internal
@@ -124,12 +120,12 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
             len1 = min(nb, D - m0)
             acc32 = jax.lax.dot_general(
                 digits_ref[sub, :, :len1 * Rbs],
-                fb_ref[0, m0 * Rbs:(m0 + len1) * Rbs, :],
+                fb_ref[u, m0 * Rbs:(m0 + len1) * Rbs, :],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
             if len1 < nb:
                 acc32 = acc32 + jax.lax.dot_general(
                     digits_ref[sub, :, len1 * Rbs:],
-                    fb_ref[0, :(nb - len1) * Rbs, :],
+                    fb_ref[u, :(nb - len1) * Rbs, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
             if pending is not None:
@@ -149,10 +145,17 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
 
     # Interleaved program order: each sub-tile's VPU phase is followed by its
     # MXU phase; the next sub-tile's VPU phase is independent of the previous
-    # sub-tile's MXU phase, so the scheduler overlaps them.
-    for sub in range(il):
-        rot_dec(sub)
-        contract(sub)
+    # sub-tile's MXU phase, so the scheduler overlaps them. With ``unroll``
+    # steps per grid iteration the window widens further: sub-tile 0's step
+    # u+1 rotate depends only on its own step-u combine, so it can run under
+    # sub-tile 1's step-u contraction.
+    for u in range(unroll):
+        # full-width row load: Mosaic can't combine the dynamic sublane index
+        # with a partial lane slice, so slice the loaded vector per sub-tile
+        bara_row = bara_ref[0, pl.ds(s * unroll + u, 1), :]  # (1, BT)
+        for sub in range(il):
+            rot_dec(sub, bara_row)
+            contract(sub, u)
 
 
 def _pad_batch(arrs, B: int, bt: int):
@@ -169,7 +172,8 @@ def _pad_batch(arrs, B: int, bt: int):
 def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
                         decomp_length: int, log2_base: int, offset: int,
                         *, b_tile: int = 256, interleave: int = 2,
-                        stepvec=None, interpret: bool = False):
+                        unroll: int = 1, stepvec=None,
+                        interpret: bool = False):
     """Fused CMux chain. fb: (n, D*R*bs, ncols*bs) int8 (seq_perm delta
     order, see ops/fblock.seq_perm); bara: (B, n) int32.
 
@@ -206,23 +210,34 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
                                  memory_space=pltpu.VMEM)
     nt = (B + pad) // bt
 
-    bara_t = jnp.swapaxes(bara, 0, 1).reshape(n, nt, bt)
-    bara_t = jnp.swapaxes(bara_t, 0, 1)  # (nt, n, bt)
+    # pad the step axis to a multiple of ``unroll``: zero kernel steps add an
+    # exactly-zero delta (digits x 0), so trailing pad steps are identity
+    U = max(1, unroll)
+    spad = (-n) % U
+    if spad:
+        fb = jnp.concatenate(
+            [fb, jnp.zeros((spad,) + fb.shape[1:], fb.dtype)], axis=0)
+        bara = jnp.concatenate(
+            [bara, jnp.zeros((bara.shape[0], spad), bara.dtype)], axis=1)
+    ns = n + spad
+
+    bara_t = jnp.swapaxes(bara, 0, 1).reshape(ns, nt, bt)
+    bara_t = jnp.swapaxes(bara_t, 0, 1)  # (nt, ns, bt)
 
     kern = functools.partial(
         _rotate_kernel, geom=geom, decomp_length=decomp_length,
-        log2_base=log2_base, offset=offset, il=il, stepvec_mu=mu)
+        log2_base=log2_base, offset=offset, il=il, stepvec_mu=mu, unroll=U)
 
     Rbs = geom.R * geom.bs
     CLbs = ncols * geom.bs
     out = pl.pallas_call(
         kern,
-        grid=(nt, n),
+        grid=(nt, ns // U),
         in_specs=[
-            pl.BlockSpec((1, n, bt), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, ns, bt), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             init_spec,
-            pl.BlockSpec((1, geom.D * Rbs, CLbs), lambda b, s: (s, 0, 0),
+            pl.BlockSpec((U, geom.D * Rbs, CLbs), lambda b, s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, C, bt, N), lambda b, s: (b, 0, 0, 0),

@@ -177,20 +177,100 @@ def load_lwe(path: str):
 
 
 def save_mk_cloud_key(path: str, ck) -> None:
-    save(path, "mk_cloud_key",
-         {"bk": ck.bk_kernels, "ks": ck.ks_mat,
-          "parties": np.array([ck.parties])}, params=ck.params)
+    """3gen MK cloud key. Prefers the compact raw samples (rebuilds either
+    MXU form on load); falls back to the conv kernels for keys generated
+    without keep_samples."""
+    mapping = {"ks": ck.ks_mat}
+    forms = [f for f, v in (("conv", ck.bk_kernels), ("fblock", ck.bk_fb))
+             if v is not None]
+    if ck.bk_samples is not None:
+        mapping["samples"] = ck.bk_samples
+    else:
+        assert ck.bk_kernels is not None
+        mapping["bk"] = ck.bk_kernels
+        forms = ["conv"]
+    save_named(path, "mk_cloud_key", mapping, params=ck.params,
+               extra_meta={"parties": ck.parties, "forms": forms})
 
 
-def load_mk_cloud_key(path: str):
+def load_mk_cloud_key(path: str, forms=None, fblock_device=None):
     import jax.numpy as jnp
 
-    from ..mk.keys3gen import MKCloudKey
+    from ..mk.keys3gen import MKCloudKey, hi_round_samples, mk_fb_geometry
+    from ..ops import fblock, poly
 
-    kind, leaves, params = load(path)
+    kind, arrs, params, extra = load_named(path)
     assert kind == "mk_cloud_key", kind
-    bk, ks, parties = leaves
-    return MKCloudKey(jnp.asarray(bk), jnp.asarray(ks), int(parties[0]), params)
+    parties = int(extra["parties"])
+    ks = jnp.asarray(arrs["ks"])
+    if "samples" not in arrs:
+        return MKCloudKey(jnp.asarray(arrs["bk"]), ks, parties, params)
+    samples = arrs["samples"]  # (P*n, l, 2, 2, N) host
+    forms = tuple(forms if forms is not None
+                  else extra.get("forms") or ("conv",))
+    kernels = fb = None
+    if "conv" in forms:
+        kern = samples.reshape(samples.shape[0], samples.shape[1] * 2, 2,
+                               samples.shape[-1])
+        kernels = jnp.asarray(poly.pack_kernels_host(kern, params.rlwe_bits))
+    if "fblock" in forms:
+        geom = mk_fb_geometry(params, parties)
+        ctx = jax.default_device(fblock_device) if fblock_device is not None \
+            else _nullctx()
+        with ctx:
+            fb = fblock.build_fblocks(hi_round_samples(samples), geom)
+    return MKCloudKey(kernels, ks, parties, params, fb, jnp.asarray(samples))
+
+
+class _nullctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+_CCS_FIELDS = ("d_kern", "f0_kern", "f1_kern", "pk_kern", "sk_kern",
+               "ks_mats")
+_KMS_FIELDS = ("gsw_kern", "d_kern", "f0_kern", "f1_kern", "pk_kern",
+               "sk_kern", "ks_mats")
+
+
+def save_ccs_cloud_key(path: str, ck) -> None:
+    """CCS cloud key round-trip (the reference's MKCloudKey file role,
+    mk_api.jl:440-459)."""
+    save_named(path, "ccs_cloud_key",
+               {f: getattr(ck, f) for f in _CCS_FIELDS}, params=ck.params,
+               extra_meta={"parties": ck.parties})
+
+
+def load_ccs_cloud_key(path: str):
+    import jax.numpy as jnp
+
+    from ..mk.ccs import CCSCloudKey
+
+    kind, arrs, params, extra = load_named(path)
+    assert kind == "ccs_cloud_key", kind
+    return CCSCloudKey(*(jnp.asarray(arrs[f]) for f in _CCS_FIELDS),
+                       int(extra["parties"]), params)
+
+
+def save_kms_cloud_key(path: str, ck) -> None:
+    """KMS cloud key round-trip (MKCloudKey_new, mk_api.jl:436-456)."""
+    save_named(path, "kms_cloud_key",
+               {f: getattr(ck, f) for f in _KMS_FIELDS}, params=ck.params,
+               extra_meta={"parties": ck.parties})
+
+
+def load_kms_cloud_key(path: str):
+    import jax.numpy as jnp
+
+    from ..mk.kms import KMSCloudKey
+
+    kind, arrs, params, extra = load_named(path)
+    assert kind == "kms_cloud_key", kind
+    return KMSCloudKey(*(jnp.asarray(arrs[f]) for f in _KMS_FIELDS),
+                       int(extra["parties"]), params)
 
 
 def save_share_set(path: str, repo) -> None:
