@@ -38,14 +38,21 @@ def main() -> int:
     sys.path.insert(0, here)
     outdir = os.path.join(here, "measurements")
 
-    from torus_fhe_tpu.core.params import PARAMETER_REGISTRY, SchemeParams3Gen
+    from torus_fhe_tpu.core.params import (PARAMETER_REGISTRY,
+                                           SchemeParams3Gen, SchemeParamsCCS,
+                                           SchemeParamsKMS)
     from torus_fhe_tpu.utils import noise
 
     params = PARAMETER_REGISTRY[name]()
     t0 = time.time()
-    if isinstance(params, SchemeParams3Gen):
+    if isinstance(params, (SchemeParams3Gen, SchemeParamsCCS,
+                           SchemeParamsKMS)):
+        scheme = ("3gen" if isinstance(params, SchemeParams3Gen)
+                  else "ccs" if isinstance(params, SchemeParamsCCS)
+                  else "kms")
         rep = noise.measure_multikey(jax.random.PRNGKey(0), params,
-                                     params.max_parties, trials=trials)
+                                     params.max_parties, trials=trials,
+                                     scheme=scheme)
     else:
         rep = noise.measure_single_key(jax.random.PRNGKey(0), params,
                                        trials=trials)

@@ -52,6 +52,12 @@ def main():
                          "registry (mk_{p}party_{scheme}) instead of tiny "
                          "test sizes — the reference comparison regime "
                          "(perf_comp.jl:103-143)")
+    ap.add_argument("--no-fblock", action="store_true",
+                    help="force the conv scan for 3gen too")
+    ap.add_argument("--fb-limit-gb", type=float, default=10.0,
+                    help="max expanded F-block size to materialise")
+    ap.add_argument("--out", default=None,
+                    help="append result rows to this JSON file")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -84,12 +90,27 @@ def main():
             return maker(parties=parties, n=args.n, N=args.N)
 
         if "3gen" in args.schemes:
+            from torus_fhe_tpu.mk.keys3gen import (mk_fb_geometry,
+                                                   mk_fb_supported)
+
             p3 = params_for("3gen")
+            forms = ("conv",)
+            if mk_fb_supported(p3) and not args.no_fblock:
+                g = mk_fb_geometry(p3, parties)
+                fb_bytes = (g.n * g.D * g.R * g.bs * len(g.cols) * g.bs)
+                if fb_bytes <= args.fb_limit_gb * 2**30:
+                    forms = ("fblock",)  # the fast Pallas path
+                else:
+                    print(f"# 3gen p={parties}: F-block would be "
+                          f"{fb_bytes / 2**30:.1f} GB > --fb-limit-gb; "
+                          f"using the conv scan", file=sys.stderr)
             sks = [mk.mk_party_keygen(jax.random.PRNGKey(10 + p), p3)
                    for p in range(parties)]
-            ck = mk.mk_cloud_keygen(jax.random.PRNGKey(9), sks, p3)
+            ck = mk.mk_cloud_keygen(jax.random.PRNGKey(9), sks, p3,
+                                    forms=forms)
             gate = jax.jit(lambda x, y, _ck=ck: gates3gen.mk_gate_nand(_ck, x, y))
-            setups["3gen"] = (p3, [s.lwe for s in sks], gate)
+            setups["3gen" + ("-fb" if forms == ("fblock",) else "")] = (
+                p3, [s.lwe for s in sks], gate)
         if "ccs" in args.schemes:
             pc = params_for("ccs")
             sks = [mccs.ccs_party_keygen(jax.random.PRNGKey(20 + p), pc)
@@ -116,10 +137,28 @@ def main():
 
     size = "registry(real)" if args.real else f"n={args.n} N={args.N}"
     print(f"# device={jax.devices()[0]} batch={B} {size}")
-    print(f"{'parties':>7s} {'scheme':>6s} {'min_s':>9s} {'median_s':>9s} "
+    print(f"{'parties':>7s} {'scheme':>8s} {'min_s':>9s} {'median_s':>9s} "
           f"{'gates/s':>10s} {'correct':>7s}")
     for p, name, mn, md, thr, ok in rows:
-        print(f"{p:7d} {name:>6s} {mn:9.4f} {md:9.4f} {thr:10.1f} {str(ok):>7s}")
+        print(f"{p:7d} {name:>8s} {mn:9.4f} {md:9.4f} {thr:10.1f} {str(ok):>7s}")
+
+    if args.out:
+        import json
+
+        payload = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                payload = json.load(f)
+        for p, name, mn, md, thr, ok in rows:
+            payload.append({
+                "parties": p, "scheme": name, "batch": B, "size": size,
+                "min_s": round(mn, 4), "median_s": round(md, 4),
+                "gates_per_s": round(thr, 2), "correct": ok,
+                "device": str(jax.devices()[0]), "trials": args.trials})
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"# wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -81,3 +81,44 @@ def test_csv_pipeline(keys, tmp_path):
     assert report["total"] == 1
     assert report["predictions"][0] == 1
     assert report["correct"] == 1
+
+
+CARDIO_CSV = "/root/reference/test/bootstrap_modules/data1.csv"
+
+
+def _plain_knn_oracle(tr_f, tr_l, te_f, k):
+    """Plaintext KNN with the pipeline's exact semantics: Manhattan distance,
+    stable sort by distance, majority > k/2 of the k nearest labels."""
+    preds = []
+    for row in te_f:
+        d = np.abs(tr_f - row).sum(axis=1)
+        order = np.argsort(d, kind="stable")
+        votes = tr_l[order[:k]].sum()
+        preds.append(int(votes > k // 2))
+    return preds
+
+
+@pytest.mark.slow
+def test_knn_on_reference_cardio_fixtures(keys):
+    """The reference's own cardio data (test/bootstrap_modules/data1.csv, the
+    dataset KNN_medical_data.cpp:582-647 is built around): encrypted pipeline
+    prediction must equal the plaintext-KNN oracle row for row."""
+    import os
+
+    if not os.path.exists(CARDIO_CSV):
+        pytest.skip("reference fixtures not present")
+    sk, ck = keys
+    width, shift, k, n_train, n_test = 16, 4, 3, 5, 2
+    tr_f, tr_l, te_f, te_l = knn.load_cardio_csv(CARDIO_CSV, n_train, n_test)
+    tr_s, te_s = tr_f >> shift, te_f >> shift
+    # distances must be distinct so the encrypted sort's tie-order is moot
+    for row in te_s:
+        d = np.abs(tr_s - row).sum(axis=1)
+        assert len(set(d.tolist())) == len(d), "pick different rows"
+        assert d.max() < 2 ** (width - 1)
+
+    res = knn.run_pipeline(jax.random.PRNGKey(3), sk, ck, CARDIO_CSV, k=k,
+                           width=width, train_rows=n_train, test_rows=n_test,
+                           scale_shift=shift)
+    oracle = _plain_knn_oracle(tr_s, tr_l, te_s, k)
+    assert res["predictions"] == oracle, (res, oracle)

@@ -36,6 +36,11 @@ class NoiseReport:
     bk_bytes: int
     ks_bytes: int
     bootstrap_wall_s: float
+    # error-class taxonomy (docs/3gen/MANUAL.md:106-113): in the
+    # expected-positive frame the phase should land in (0, 1/4); a wrong
+    # decryption is classed by which side it left the band
+    wrong_phase_gt_quarter: int = 0
+    wrong_phase_lt_zero: int = 0
     boot_noises: np.ndarray | None = None  # raw per-trial bootstrapped noise
     fresh_noises: np.ndarray | None = None
 
@@ -48,7 +53,7 @@ class NoiseReport:
     def write_artifacts(self, directory: str, tag: str) -> None:
         """Reference-style result files (noise_results/mk-noises__*.dat and
         log_1st_method_errors.log): one bootstrapped-noise value per line,
-        wrong decryptions logged with full context."""
+        wrong decryptions logged with class + full context."""
         import os
 
         os.makedirs(directory, exist_ok=True)
@@ -58,10 +63,28 @@ class NoiseReport:
                     f.write(f"{float(v):.17g}\n")
         with open(os.path.join(directory, f"log__{tag}.log"), "w") as f:
             f.write(f"# {tag}: {self.to_json()}\n")
-            for idx in self.wrong_indices:
+            for idx, cls in zip(self.wrong_indices, self.wrong_classes):
                 noise = (float(np.asarray(self.boot_noises).ravel()[idx])
                          if self.boot_noises is not None else float("nan"))
-                f.write(f"wrong_decryption trial={idx} noise={noise:.6g}\n")
+                f.write(f"wrong_decryption trial={idx} class={cls} "
+                        f"noise={noise:.6g}\n")
+
+    wrong_classes: list = dataclasses.field(default_factory=list)
+
+
+def _classify_wrong(phase_pos: np.ndarray, wrong: np.ndarray):
+    """Classes for wrong trials given phases mapped to the expected-positive
+    frame (True-message orientation): 'phase_gt_quarter' when the phase
+    overshot past 1/4, 'phase_lt_zero' when it crossed the sign boundary
+    (the reference's two wrong-decryption classes,
+    measurements_us_simplified_3.jl:76-77)."""
+    quarter = 0.25
+    classes = []
+    for idx in wrong:
+        p = float(phase_pos[idx])
+        classes.append("phase_gt_quarter" if p > quarter else "phase_lt_zero")
+    n_gt = sum(c == "phase_gt_quarter" for c in classes)
+    return classes, n_gt, len(classes) - n_gt
 
 
 def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
@@ -70,7 +93,9 @@ def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
     from ..lwe import lwe_phase
 
     k1, k2, k3 = jax.random.split(key, 3)
-    sk, ck = api.make_key_pair(k1, params)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    sk, ck = api.make_key_pair(k1, params,
+                               forms=("fblock",) if on_tpu else ("conv",))
 
     msgs = jax.random.bernoulli(k2, 0.5, (trials,))
     ct = api.encrypt(k3, sk, msgs)
@@ -89,45 +114,96 @@ def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
     boot = np.asarray(noise_calc(mu, phase))
     dec = phase > 0
     wrong = np.nonzero(dec != np.asarray(msgs))[0]
+    phase_pos = np.where(np.asarray(msgs), 1.0, -1.0) * (
+        phase.astype(np.float64) / 2.0**32)
+    classes, n_gt, n_lt = _classify_wrong(phase_pos, wrong)
 
-    bk_bytes = ck.bootstrap_key.kernels.nbytes
+    bk = ck.bootstrap_key
+    bk_bytes = (bk.kernels if bk.kernels is not None else bk.fb).nbytes
     ks_bytes = ck.keyswitch_key.mat.nbytes
     return NoiseReport(trials, float(fresh.std()), float(np.abs(fresh).max()),
                        float(boot.std()), float(np.abs(boot).max()),
                        int(wrong.size), wrong.tolist()[:16], bk_bytes, ks_bytes,
-                       wall, boot_noises=boot, fresh_noises=fresh)
+                       wall, wrong_phase_gt_quarter=n_gt,
+                       wrong_phase_lt_zero=n_lt, wrong_classes=classes[:16],
+                       boot_noises=boot, fresh_noises=fresh)
 
 
-def measure_multikey(key, params, parties: int, trials: int = 1000) -> NoiseReport:
-    """Multikey 3gen harness (measurements_us_simplified_*: fresh +
-    bootstrapped noise, error classes, BK/KSK sizes, timings)."""
-    from .. import mk
-    from ..mk import gates3gen
-    from ..mk.samples import mk_lwe_phase
+def measure_multikey(key, params, parties: int, trials: int = 1000,
+                     scheme: str = "3gen") -> NoiseReport:
+    """Multikey harness for all three schemes (measurements_us_simplified_* /
+    CCS & KMS suites: fresh + bootstrapped noise, the two wrong-decryption
+    classes, BK/KSK sizes, timings). ``scheme``: "3gen" | "ccs" | "kms"."""
+    from ..mk.samples import mk_encrypt, mk_lwe_phase
 
-    sks = [mk.mk_party_keygen(jax.random.fold_in(key, 100 + p), params)
-           for p in range(parties)]
-    ck = mk.mk_cloud_keygen(jax.random.fold_in(key, 7), sks, params)
-    lwe_keys = [sk.lwe for sk in sks]
+    if scheme == "3gen":
+        from .. import mk
+        from ..mk import gates3gen
+
+        sks = [mk.mk_party_keygen(jax.random.fold_in(key, 100 + p), params)
+               for p in range(parties)]
+        ck = mk.mk_cloud_keygen(jax.random.fold_in(key, 7), sks, params)
+        lwe_keys = [sk.lwe for sk in sks]
+        gate = lambda a, b: gates3gen.mk_gate_and(ck, a, b)
+        bk_bytes = (ck.bk_kernels if ck.bk_kernels is not None
+                    else ck.bk_fb).nbytes
+        ks_bytes = ck.ks_mat.nbytes
+    elif scheme == "ccs":
+        from ..mk import ccs
+
+        sks = [ccs.ccs_party_keygen(jax.random.fold_in(key, 100 + p), params)
+               for p in range(parties)]
+        ck = ccs.ccs_cloud_keygen(jax.random.fold_in(key, 7), sks, params)
+        lwe_keys = [sk.lwe for sk in sks]
+        gate = lambda a, b: ccs.mk_gate_nand(ck, a, b)
+        bk_bytes = (ck.d_kern.nbytes + ck.f0_kern.nbytes + ck.f1_kern.nbytes
+                    + ck.pk_kern.nbytes + ck.sk_kern.nbytes)
+        ks_bytes = ck.ks_mats.nbytes
+    elif scheme == "kms":
+        from ..mk import kms
+
+        sks = [kms.kms_party_keygen(jax.random.fold_in(key, 100 + p), params)
+               for p in range(parties)]
+        ck = kms.kms_cloud_keygen(jax.random.fold_in(key, 7), sks, params)
+        lwe_keys = [sk.lwe for sk in sks]
+        gate = lambda a, b: kms.mk_gate_nand(ck, a, b)
+        bk_bytes = (ck.gsw_kern.nbytes + ck.d_kern.nbytes + ck.f0_kern.nbytes
+                    + ck.f1_kern.nbytes + ck.pk_kern.nbytes
+                    + ck.sk_kern.nbytes)
+        ks_bytes = ck.ks_mats.nbytes
+    else:
+        raise ValueError(scheme)
 
     msgs = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5, (trials,))
-    ct = mk.mk_encrypt(jax.random.fold_in(key, 2), lwe_keys, msgs, params)
+    ct = mk_encrypt(jax.random.fold_in(key, 2), lwe_keys, msgs, params)
     mu = jnp.where(msgs, encode_message(1, 8), encode_message(-1, 8))
     fresh = np.asarray(noise_calc(mu, mk_lwe_phase(ct, lwe_keys)))
 
-    true_ct = mk.mk_encrypt(jax.random.fold_in(key, 3), lwe_keys,
-                            jnp.ones((trials,), bool), params)
+    true_ct = mk_encrypt(jax.random.fold_in(key, 3), lwe_keys,
+                         jnp.ones((trials,), bool), params)
     t0 = time.time()
-    out = gates3gen.mk_gate_and(ck, ct, true_ct)
+    if scheme == "3gen":
+        out = gate(ct, true_ct)  # AND(m, 1) = m
+        want = np.asarray(msgs)
+    else:
+        out = gate(ct, true_ct)  # NAND(m, 1) = not m
+        want = ~np.asarray(msgs)
     out.b.block_until_ready()
     wall = time.time() - t0
 
+    mu_out = jnp.where(jnp.asarray(want), encode_message(1, 8),
+                       encode_message(-1, 8))
     phase = np.asarray(mk_lwe_phase(out, lwe_keys))
-    boot = np.asarray(noise_calc(mu, phase))
+    boot = np.asarray(noise_calc(mu_out, phase))
     dec = phase > 0
-    wrong = np.nonzero(dec != np.asarray(msgs))[0]
+    wrong = np.nonzero(dec != want)[0]
+    phase_pos = np.where(want, 1.0, -1.0) * (
+        phase.astype(np.float64) / 2.0**32)
+    classes, n_gt, n_lt = _classify_wrong(phase_pos, wrong)
     return NoiseReport(trials, float(fresh.std()), float(np.abs(fresh).max()),
                        float(boot.std()), float(np.abs(boot).max()),
                        int(wrong.size), wrong.tolist()[:16],
-                       ck.bk_kernels.nbytes, ck.ks_mat.nbytes, wall,
+                       bk_bytes, ks_bytes, wall,
+                       wrong_phase_gt_quarter=n_gt, wrong_phase_lt_zero=n_lt,
+                       wrong_classes=classes[:16],
                        boot_noises=boot, fresh_noises=fresh)
