@@ -34,6 +34,7 @@ def test_keygen_encrypt_eval_decrypt(workdir, capsys):
     assert int(out) == (27 & 202)
 
 
+@pytest.mark.slow
 def test_convert_scenario(workdir, capsys):
     assert run_cli(["keygen", "--params", "tfhe_test_small"], workdir) == 0
     rc = run_cli(["convert", "13452", "223416", "--bits", "8"], workdir)
@@ -42,6 +43,7 @@ def test_convert_scenario(workdir, capsys):
     assert "direct decrypt" in out and "[OK]" in out
 
 
+@pytest.mark.slow
 def test_tlwetn_scenario(workdir, capsys):
     rc = run_cli(["tlwetn", "3", "5", "1", "2", "4"], workdir)
     out = capsys.readouterr().out

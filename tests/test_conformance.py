@@ -17,6 +17,7 @@ pipeline bit-for-flow at the reference's sizes. The tlwetn flow at its real
 parameters (TLweParams(1024, k=2), TLwe_TN.cpp:52) runs in tests/test_cli.py.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +33,7 @@ PLAIN22 = 13452
 PLAIN23 = 223416
 
 
+@pytest.mark.slow
 def test_convert_flow_production_params():
     params = thfhe_parameters_1024()
     n = params.lwe_size
