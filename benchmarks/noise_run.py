@@ -50,13 +50,15 @@ def main() -> int:
         scheme = ("3gen" if isinstance(params, SchemeParams3Gen)
                   else "ccs" if isinstance(params, SchemeParamsCCS)
                   else "kms")
+        fast = None if "--exact" not in sys.argv else False
         rep = noise.measure_multikey(jax.random.PRNGKey(0), params,
                                      params.max_parties, trials=trials,
-                                     scheme=scheme)
+                                     scheme=scheme, fast_form=fast)
     else:
         rep = noise.measure_single_key(jax.random.PRNGKey(0), params,
                                        trials=trials)
-    tag = f"{name}_trials-{trials}"
+    tag = f"{name}_trials-{trials}" + ("_exact" if "--exact" in sys.argv
+                                       else "")
     rep.write_artifacts(outdir, tag)
     print(rep.to_json())
     print(f"artifacts: measurements/noises__{tag}.dat + log__{tag}.log "

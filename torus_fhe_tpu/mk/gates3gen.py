@@ -28,8 +28,16 @@ def _trivial_like(ck: MKCloudKey, x: MKLweSample, mu):
 
 
 def _mu(ck):
-    dtype = jnp.int32 if ck.params.rlwe_bits == 32 else jnp.int64
-    return encode_message(1, 8, dtype)
+    if ck.params.rlwe_bits == 32:
+        return encode_message(1, 8, jnp.int32)
+    if not jax.config.jax_enable_x64:
+        # no real int64 available: deliver the hi word directly — valid for
+        # the hi-word F-block fast path (boot3gen._fast_rotate_extract),
+        # which is the only 64-bit backend usable without x64
+        assert ck.bk_fb is not None, \
+            "64-bit MK scan backend needs jax_enable_x64"
+        return encode_message(1, 8, jnp.int32)
+    return encode_message(1, 8, jnp.int64)
 
 
 def mk_gate_nand(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:

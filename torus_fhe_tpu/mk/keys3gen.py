@@ -219,6 +219,13 @@ def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
 
     parties = len(secret_keys)
     assert parties <= params.max_parties
+    if params.rlwe_bits == 64:
+        # without x64 the JAX-side samplers silently truncate to int32 and
+        # the key degenerates to a near-zero mask (insecure). Keygen needs
+        # x64; x64-free TPU *evaluation* is fine via a serialized key + the
+        # hi-word fast path.
+        assert jax.config.jax_enable_x64, \
+            "64-bit MK keygen requires jax_enable_x64=True"
     if "fblock" in forms:
         assert mk_fb_supported(params), \
             "fblock form needs l*log2B <= 31 and log2B <= 8 (use conv)"

@@ -170,7 +170,8 @@ def mk_bootstrap_pipelined(ck: MKCloudKey, fb_sharded, mu, x, mesh: Mesh,
     bara = decode_message(x.a, 2 * N).astype(jnp.int32).reshape(
         B, ck.parties, -1)
     barb = decode_message(x.b, 2 * N).astype(jnp.int32).reshape(B)
-    mu32 = int(np.asarray(jax.device_get(mu)).reshape(())) >> 32
+    v = int(np.asarray(jax.device_get(mu)).reshape(()))
+    mu32 = v if jnp.asarray(mu).dtype == jnp.int32 else v >> 32
     acc = mk_blind_rotate_pipelined(fb_sharded, bara, barb, mu32, params,
                                     ck.parties, mesh,
                                     microbatches=microbatches)

@@ -130,19 +130,29 @@ def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
 
 
 def measure_multikey(key, params, parties: int, trials: int = 1000,
-                     scheme: str = "3gen") -> NoiseReport:
+                     scheme: str = "3gen",
+                     fast_form: bool | None = None) -> NoiseReport:
     """Multikey harness for all three schemes (measurements_us_simplified_* /
     CCS & KMS suites: fresh + bootstrapped noise, the two wrong-decryption
-    classes, BK/KSK sizes, timings). ``scheme``: "3gen" | "ccs" | "kms"."""
+    classes, BK/KSK sizes, timings). ``scheme``: "3gen" | "ccs" | "kms".
+
+    ``fast_form``: for 3gen, measure the hi-word F-block fast path (includes
+    its BK-rounding noise — the shipped TPU configuration) instead of the
+    exact 64-bit scan; default: fast when the set supports it."""
     from ..mk.samples import mk_encrypt, mk_lwe_phase
 
     if scheme == "3gen":
         from .. import mk
         from ..mk import gates3gen
+        from ..mk.keys3gen import mk_fb_supported
 
+        if fast_form is None:
+            fast_form = mk_fb_supported(params)
         sks = [mk.mk_party_keygen(jax.random.fold_in(key, 100 + p), params)
                for p in range(parties)]
-        ck = mk.mk_cloud_keygen(jax.random.fold_in(key, 7), sks, params)
+        ck = mk.mk_cloud_keygen(
+            jax.random.fold_in(key, 7), sks, params,
+            forms=("fblock",) if fast_form else ("conv",))
         lwe_keys = [sk.lwe for sk in sks]
         gate = lambda a, b: gates3gen.mk_gate_and(ck, a, b)
         bk_bytes = (ck.bk_kernels if ck.bk_kernels is not None
