@@ -152,6 +152,11 @@ def run_pipeline(key, sk: SecretKey, ck: CloudKey, csv_path: str, k: int = 5,
     feats, labs = encrypt_dataset(key, sk, tr_f, tr_l, width)
     predictions = []
     for i in range(te_f.shape[0]):
+        if i:
+            # the prediction circuit compiles hundreds of distinct XLA
+            # programs; letting them accumulate across test rows has crashed
+            # the CPU client (see tests/conftest.py) — drop them per row
+            jax.clear_caches()
         test_word = words.int_encrypt(jax.random.fold_in(key, 50 + i), sk,
                                       jnp.asarray(te_f[i]), width)
         decision = knn_predict(ck, feats, labs, test_word, k, width)

@@ -1,1 +1,1 @@
-from . import api, bootstrap, gates, keyswitch, public_sample
+from . import api, bootstrap, gates, keyswitch, pack, public_sample
