@@ -107,19 +107,18 @@ def rebuild_bk_forms(samples, params: SchemeParams, forms=("conv",),
     """Rebuild the MXU key form(s) from compact TGSW ``samples`` — the load
     half of serialization (see BootstrapKey.samples)."""
     drop = getattr(params, "bk_drop_limbs", 0)
-    samples = jnp.asarray(samples)
+    host = np.asarray(jax.device_get(samples))
     kernels = None
     fb = None
     if "conv" in forms:
-        kernels = pack_tgsw(TGswSample(samples), params.tgsw, drop).kernels
+        kernels = pack_tgsw(TGswSample(host), params.tgsw, drop).kernels
     if "fblock" in forms:
         geom = _bk_geometry(params)
-        host = np.asarray(jax.device_get(samples))
         ctx = jax.default_device(fblock_device) if fblock_device is not None \
             else _nullcontext()
         with ctx:
             fb = fblock.build_fblocks(host, geom)
-    return BootstrapKey(kernels, fb, samples)
+    return BootstrapKey(kernels, fb, jnp.asarray(host))
 
 
 class _nullcontext:
