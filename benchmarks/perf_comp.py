@@ -16,6 +16,7 @@ real chip pass production sizes (--n 560 --N 1024 ...).
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import statistics
 import sys
@@ -108,7 +109,11 @@ def main():
                    for p in range(parties)]
             ck = mk.mk_cloud_keygen(jax.random.PRNGKey(9), sks, p3,
                                     forms=forms)
-            gate = jax.jit(lambda x, y, _ck=ck: gates3gen.mk_gate_nand(_ck, x, y))
+            # pass ck as a traced ARG: a closure capture would bake the (multi-GB)
+            # F-block key into the program as a constant and hang compilation
+            gate = functools.partial(
+                jax.jit(lambda _ck, x, y: gates3gen.mk_gate_nand(_ck, x, y)),
+                ck)
             setups["3gen" + ("-fb" if forms == ("fblock",) else "")] = (
                 p3, [s.lwe for s in sks], gate)
         if "ccs" in args.schemes:
@@ -116,14 +121,16 @@ def main():
             sks = [mccs.ccs_party_keygen(jax.random.PRNGKey(20 + p), pc)
                    for p in range(parties)]
             ck = mccs.ccs_cloud_keygen(jax.random.PRNGKey(19), sks, pc)
-            gate = jax.jit(lambda x, y, _ck=ck: mccs.mk_gate_nand(_ck, x, y))
+            gate = functools.partial(
+                jax.jit(lambda _ck, x, y: mccs.mk_gate_nand(_ck, x, y)), ck)
             setups["ccs"] = (pc, [s.lwe for s in sks], gate)
         if "kms" in args.schemes:
             pk_ = params_for("kms")
             sks = [mkms.kms_party_keygen(jax.random.PRNGKey(30 + p), pk_)
                    for p in range(parties)]
             ck = mkms.kms_cloud_keygen(jax.random.PRNGKey(29), sks, pk_)
-            gate = jax.jit(lambda x, y, _ck=ck: mkms.mk_gate_nand(_ck, x, y))
+            gate = functools.partial(
+                jax.jit(lambda _ck, x, y: mkms.mk_gate_nand(_ck, x, y)), ck)
             setups["kms"] = (pk_, [s.lwe for s in sks], gate)
 
         for name, (params, lwe_keys, gate) in setups.items():
