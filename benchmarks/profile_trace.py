@@ -45,8 +45,22 @@ def main():
 
     params = (tfhe_parameters_128_tpu() if args.l3
               else tfhe_parameters_128_tpu_fast())
-    sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params,
-                               forms=("fblock",))
+    # reuse bench.py's cached key when present (skips the ~1 min keygen)
+    from torus_fhe_tpu.utils import serialize
+
+    tag = "l3" if args.l3 else "fast"
+    sk_path = os.path.join(cache, f"bench_sk_{tag}.npz")
+    ck_path = os.path.join(cache, f"bench_ck_{tag}.npz")
+    if os.path.exists(sk_path) and os.path.exists(ck_path):
+        sk = serialize.load_secret_key(sk_path)
+        if sk.params == params:
+            ck = serialize.load_cloud_key(ck_path, forms=("fblock",))
+        else:
+            sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params,
+                                       forms=("fblock",))
+    else:
+        sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params,
+                                   forms=("fblock",))
     B = args.batch
     rng = np.random.default_rng(0)
     xs = jnp.asarray(rng.integers(0, 2, B) == 1)

@@ -119,6 +119,6 @@ def test_knn_on_reference_cardio_fixtures(keys):
 
     res = knn.run_pipeline(jax.random.PRNGKey(3), sk, ck, CARDIO_CSV, k=k,
                            width=width, train_rows=n_train, test_rows=n_test,
-                           scale_shift=shift)
+                           scale_shift=shift, jit_predict=True)
     oracle = _plain_knn_oracle(tr_s, tr_l, te_s, k)
     assert res["predictions"] == oracle, (res, oracle)

@@ -136,7 +136,8 @@ def load_cardio_csv(path: str, train_rows: int = 5, test_rows: int = 1,
 
 def run_pipeline(key, sk: SecretKey, ck: CloudKey, csv_path: str, k: int = 5,
                  width: int = 8, train_rows: int = 5, test_rows: int = 1,
-                 feature_cols=None, scale_shift: int = 0) -> dict:
+                 feature_cols=None, scale_shift: int = 0,
+                 jit_predict: bool = False) -> dict:
     """End-to-end encrypted-KNN accuracy pipeline
     (src/KNN_medical_data.cpp:818-851 + accuracy tally :738-748): load the
     CSV, encrypt train+test rows, predict every test row homomorphically,
@@ -150,16 +151,23 @@ def run_pipeline(key, sk: SecretKey, ck: CloudKey, csv_path: str, k: int = 5,
     tr_f = tr_f >> scale_shift
     te_f = te_f >> scale_shift
     feats, labs = encrypt_dataset(key, sk, tr_f, tr_l, width)
+    # ``jit_predict``: compile the WHOLE prediction circuit as one XLA
+    # program. Upfront compile is large, but per-row evaluation is fast and
+    # it sidesteps an XLA:CPU crash seen when the eager path accumulates
+    # hundreds of separate compilations at larger widths.
+    predict = (jax.jit(lambda c, f, l, t: knn_predict(c, f, l, t, k, width))
+               if jit_predict else
+               (lambda c, f, l, t: knn_predict(c, f, l, t, k, width)))
     predictions = []
     for i in range(te_f.shape[0]):
-        if i:
-            # the prediction circuit compiles hundreds of distinct XLA
-            # programs; letting them accumulate across test rows has crashed
-            # the CPU client (see tests/conftest.py) — drop them per row
+        if i and not jit_predict:
+            # the eager path compiles hundreds of distinct XLA programs;
+            # letting them accumulate across test rows has crashed the CPU
+            # client (see tests/conftest.py) — drop them per row
             jax.clear_caches()
         test_word = words.int_encrypt(jax.random.fold_in(key, 50 + i), sk,
                                       jnp.asarray(te_f[i]), width)
-        decision = knn_predict(ck, feats, labs, test_word, k, width)
+        decision = predict(ck, feats, labs, test_word)
         from ..boot import api as _api
 
         predictions.append(int(np.asarray(_api.decrypt(sk, decision))))

@@ -96,7 +96,7 @@ def seq_perm(D: int) -> np.ndarray:
 
 
 def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
-                  chunk: int = 16) -> jax.Array:
+                  chunk: int = 64) -> jax.Array:
     """Build the F-block key from raw TGSW samples.
 
     samples: (n, l, C, C, N) torus ints (host numpy); samples[s, i, j, c] is
