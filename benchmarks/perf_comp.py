@@ -134,13 +134,22 @@ def main():
             setups["kms"] = (pk_, [s.lwe for s in sks], gate)
 
         for name, (params, lwe_keys, gate) in setups.items():
-            cx = mk_encrypt(jax.random.PRNGKey(1), lwe_keys, xs, params)
-            cy = mk_encrypt(jax.random.PRNGKey(2), lwe_keys, ys, params)
-            walls, out = bench_gate(gate, cx, cy, args.trials)
-            got = np.asarray(mk_decrypt(lwe_keys, out))
-            ok = bool(np.array_equal(got, ~(np.asarray(xs) & np.asarray(ys))))
-            rows.append((parties, name, min(walls), statistics.median(walls),
-                         B / min(walls), ok))
+            try:
+                cx = mk_encrypt(jax.random.PRNGKey(1), lwe_keys, xs, params)
+                cy = mk_encrypt(jax.random.PRNGKey(2), lwe_keys, ys, params)
+                walls, out = bench_gate(gate, cx, cy, args.trials)
+                got = np.asarray(mk_decrypt(lwe_keys, out))
+                ok = bool(np.array_equal(got,
+                                         ~(np.asarray(xs) & np.asarray(ys))))
+            except Exception as e:  # OOM etc: keep the other schemes' rows
+                print(f"# {name} p={parties} FAILED: {str(e)[:200]}",
+                      file=sys.stderr, flush=True)
+                continue
+            row = (parties, name, min(walls), statistics.median(walls),
+                   B / min(walls), ok)
+            rows.append(row)
+            print(f"# row: p={parties} {name} min={row[2]:.4f}s "
+                  f"{row[4]:.1f} gates/s ok={ok}", file=sys.stderr, flush=True)
 
     size = "registry(real)" if args.real else f"n={args.n} N={args.N}"
     print(f"# device={jax.devices()[0]} batch={B} {size}")
