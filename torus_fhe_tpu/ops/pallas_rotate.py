@@ -171,7 +171,7 @@ def _pad_batch(arrs, B: int, bt: int):
 
 def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
                         decomp_length: int, log2_base: int, offset: int,
-                        *, b_tile: int = 256, interleave: int = 2,
+                        *, b_tile: int | None = None, interleave: int = 0,
                         unroll: int = 1, stepvec=None,
                         interpret: bool = False):
     """Fused CMux chain. fb: (n, D*R*bs, ncols*bs) int8 (seq_perm delta
@@ -188,6 +188,13 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
     n = geom.n
     ncols = len(geom.cols)
     B = bara.shape[0]
+    if b_tile is None:
+        # swept on v5e (benchmarks/rotate_sweep.py): one big tile streams the
+        # F-block key from HBM once per batch (12.2k vs 11.8k rot/s at the
+        # 128-bit set); small batches prefer the 256-tile 2-chain interleave
+        b_tile, interleave = (4096, 4) if B >= 2048 else (256, 2)
+    elif not interleave:
+        interleave = 2
     bt = min(b_tile, max(8, B))
     il = interleave if bt % interleave == 0 and bt >= 8 * interleave else 1
     mu = None
