@@ -190,9 +190,11 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
     B = bara.shape[0]
     if b_tile is None:
         # swept on v5e (benchmarks/rotate_sweep.py): one big tile streams the
-        # F-block key from HBM once per batch (12.2k vs 11.8k rot/s at the
-        # 128-bit set); small batches prefer the 256-tile 2-chain interleave
-        b_tile, interleave = (4096, 4) if B >= 2048 else (256, 2)
+        # F-block key from HBM once per batch, and 16 interleaved sub-chains
+        # keep the MXU fed through each chain's serial VPU phase (12.6k vs
+        # 11.3k rot/s for il=4 under identical load at the 128-bit set);
+        # small batches prefer the 256-tile 2-chain interleave
+        b_tile, interleave = (4096, 16) if B >= 2048 else (256, 2)
     elif not interleave:
         interleave = 2
     bt = min(b_tile, max(8, B))
