@@ -109,7 +109,7 @@ def main() -> None:
     # — a real sequential circuit), so the device never waits on per-batch
     # host dispatch through the tunnel. Decrypt-checked against the plaintext
     # recurrence below.
-    T = 16
+    T = 8
 
     def chain(ck, x0, y):
         def body(x, _):
