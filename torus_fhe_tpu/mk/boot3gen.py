@@ -69,11 +69,14 @@ def _fast_rotate_extract(ck: MKCloudKey, mu, bara, barb, B: int) -> LweSample:
     geom = mk_fb_geometry(params, ck.parties)
     tg32 = TGswParams(params.gsw_decomp_length, params.gsw_log2_base, 32)
     on_tpu = jax.devices()[0].platform == "tpu"
-    # mu is a multiple of 2^32 (l*log2B <= 31): its hi word is exact. With
-    # x64 disabled, encode_message already delivered the int32 hi word
-    # (encode_message(s, m, int32) == encode_message(s, m, int64) >> 32).
+    # mu is a multiple of 2^32 (l*log2B <= 31): its hi word is exact. A
+    # 32-bit-magnitude value IS the hi word already (the x64-off path and
+    # encode_message(s, m, int32) == encode_message(s, m, int64) >> 32).
     mu_static = None
-    if not isinstance(mu, jax.core.Tracer):
+    if isinstance(mu, (int, np.integer)):
+        mu = int(mu)
+        mu_static = mu >> 32 if abs(mu) >= (1 << 31) else mu
+    elif not isinstance(mu, jax.core.Tracer):
         v = int(np.asarray(jax.device_get(mu)).reshape(()))
         mu_static = v if jnp.asarray(mu).dtype == jnp.int32 else v >> 32
 
@@ -86,9 +89,12 @@ def _fast_rotate_extract(ck: MKCloudKey, mu, bara, barb, B: int) -> LweSample:
     else:
         from ..ops import poly
 
-        mu = jnp.asarray(mu)
-        mu32 = (mu if mu.dtype == jnp.int32
-                else (mu >> 32).astype(jnp.int32))
+        if mu_static is not None:
+            mu32 = jnp.int32(mu_static)
+        else:
+            mu = jnp.asarray(mu)
+            mu32 = (mu if mu.dtype == jnp.int32
+                    else (mu >> 32).astype(jnp.int32))
         tv = jnp.broadcast_to(mu32, (B, geom.N))
         tv = poly.mul_by_monomial(tv, -barb)
         acc0 = jnp.zeros((B, geom.C, geom.N), jnp.int32)

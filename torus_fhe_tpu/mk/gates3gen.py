@@ -27,17 +27,20 @@ def _trivial_like(ck: MKCloudKey, x: MKLweSample, mu):
     return mk_lwe_noiseless_trivial(mu, ck.params.lwe, ck.parties, x.b.shape)
 
 
-def _mu(ck):
+def _mu(ck) -> int:
+    """The bootstrap test-vector value as a PURE PYTHON int: jnp ops always
+    return tracers under jit, which would silently disable the static-mu
+    Pallas stepvec fast path (boot3gen._fast_rotate_extract) — the same trap
+    the single-key gates avoid with _encode_static (boot/gates.py)."""
     if ck.params.rlwe_bits == 32:
-        return encode_message(1, 8, jnp.int32)
+        return 1 << 29  # encode_message(1, 8) on the 32-bit torus
     if not jax.config.jax_enable_x64:
         # no real int64 available: deliver the hi word directly — valid for
-        # the hi-word F-block fast path (boot3gen._fast_rotate_extract),
-        # which is the only 64-bit backend usable without x64
+        # the hi-word F-block fast path, the only 64-bit backend without x64
         assert ck.bk_fb is not None, \
             "64-bit MK scan backend needs jax_enable_x64"
-        return encode_message(1, 8, jnp.int32)
-    return encode_message(1, 8, jnp.int64)
+        return 1 << 29
+    return 1 << 61  # encode_message(1, 8) on the 64-bit torus
 
 
 def mk_gate_nand(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:

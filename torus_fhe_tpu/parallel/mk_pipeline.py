@@ -170,8 +170,12 @@ def mk_bootstrap_pipelined(ck: MKCloudKey, fb_sharded, mu, x, mesh: Mesh,
     bara = decode_message(x.a, 2 * N).astype(jnp.int32).reshape(
         B, ck.parties, -1)
     barb = decode_message(x.b, 2 * N).astype(jnp.int32).reshape(B)
-    v = int(np.asarray(jax.device_get(mu)).reshape(()))
-    mu32 = v if jnp.asarray(mu).dtype == jnp.int32 else v >> 32
+    if isinstance(mu, (int, np.integer)):
+        v = int(mu)
+        mu32 = v >> 32 if abs(v) >= (1 << 31) else v
+    else:
+        v = int(np.asarray(jax.device_get(mu)).reshape(()))
+        mu32 = v if jnp.asarray(mu).dtype == jnp.int32 else v >> 32
     acc = mk_blind_rotate_pipelined(fb_sharded, bara, barb, mu32, params,
                                     ck.parties, mesh,
                                     microbatches=microbatches)
