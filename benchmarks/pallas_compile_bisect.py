@@ -76,7 +76,12 @@ def run_jit(cfg: str):
     il = int(kv.get("il", 2))
     B = int(kv.get("B", bt))
     N, bs = 1024, 128
-    cols = tuple((i % 2, 8 * (i // 2)) for i in range(ncols))
+    if kv.get("layout") == "real":
+        # the shipped MK layout: per-poly consecutive limb columns
+        per = ncols // 2
+        cols = tuple((p, 8 * m) for p in range(2) for m in range(per))
+    else:
+        cols = tuple((i % 2, 8 * (i // 2)) for i in range(ncols))
     geom = FBlockGeometry(n=n, N=N, bs=bs, nb=N // bs, D=2 * N // bs, C=2,
                           R=4, cols=cols, bits=32)
     rng = np.random.default_rng(0)
@@ -90,6 +95,12 @@ def run_jit(cfg: str):
 
     @jax.jit
     def fn(fb_, bara_, barb_):
+        if kv.get("dx64"):
+
+            with jax.enable_x64(False):
+                return blind_rotate_pallas(None, fb_, bara_, geom, 2, 8,
+                                           1 << 24, b_tile=bt, interleave=il,
+                                           stepvec=(1 << 29, barb_))
         return blind_rotate_pallas(None, fb_, bara_, geom, 2, 8, 1 << 24,
                                    b_tile=bt, interleave=il,
                                    stepvec=(1 << 29, barb_))

@@ -83,9 +83,13 @@ def _fast_rotate_extract(ck: MKCloudKey, mu, bara, barb, B: int) -> LweSample:
     if on_tpu and mu_static is not None:
         from ..ops.pallas_rotate import blind_rotate_pallas
 
-        acc = blind_rotate_pallas(
-            None, ck.bk_fb, bara, geom, tg32.decomp_length, tg32.log2_base,
-            tg32.offset, stepvec=(mu_static, barb))
+        # the hi-word rotate is int32-pure; under jax_enable_x64 the Pallas
+        # lowering emits i64 index types that crash the TPU compile helper,
+        # so trace this call in x64-off mode (bit-identical semantics)
+        with jax.enable_x64(False):
+            acc = blind_rotate_pallas(
+                None, ck.bk_fb, bara, geom, tg32.decomp_length,
+                tg32.log2_base, tg32.offset, stepvec=(mu_static, barb))
     else:
         from ..ops import poly
 
