@@ -147,13 +147,18 @@ def main() -> None:
     p50_ms = sorted(lats)[len(lats) // 2] * 1e3
 
     gates_per_s = B * iters / dt
-    best = max(gates_per_s, chain_rate)
+    # The headline is the chained steady-state regime, deterministically (not
+    # a silent max over regimes — ADVICE r3): one XLA program running T
+    # sequential NANDs is the production serving shape, free of per-batch
+    # host-dispatch latency through the tunnel. The dispatched-regime rate is
+    # disclosed alongside for cross-round comparison.
     print(json.dumps({
         "metric": "bootsAND_gates_per_sec_per_chip",
-        "value": round(best, 2),
+        "value": round(chain_rate, 2),
         "unit": "gates/s",
-        "vs_baseline": round(best / PER_CHIP_TARGET, 4),
+        "vs_baseline": round(chain_rate / PER_CHIP_TARGET, 4),
         "extra": {
+            "regime": "chained_steady_state",
             "dispatched_gates_per_s": round(gates_per_s, 2),
             "chained_gates_per_s": round(chain_rate, 2),
             "chain_len": T,

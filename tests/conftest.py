@@ -18,6 +18,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache (the bench.py pattern): the fast tier is
+# compile-bound (8 virtual devices x many parameter sets), and per-module
+# jax.clear_caches() below drops live executables but NOT this disk cache, so
+# repeat suite runs skip most compilation (VERDICT r3 weak #3).
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", ".cache", "jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert all(d.platform == "cpu" for d in jax.devices()), jax.devices()
 
 import pytest

@@ -40,8 +40,31 @@ def test_multikey_noise_report_ccs_kms():
     assert rep.wrong_decryptions == 0, rep.to_json()
 
 
-def test_wrong_decryption_classifier():
-    ph = [0.3, -0.05, 0.1]
-    classes, n_gt, n_lt = noise._classify_wrong(ph, [0, 1])
-    assert classes == ["phase_gt_quarter", "phase_lt_zero"]
-    assert (n_gt, n_lt) == (1, 1)
+def test_rounded_phase_classifier():
+    """Reference semantics (measurements_us_simplified_3.jl:126-160): the
+    (0, 1/4)-band classes count over ALL trials of the rounded phase, not
+    just the wrong-decryption subset."""
+    import numpy as np
+
+    ph = np.array([0.3, -0.05, 0.1, 0.26])
+    n_gt, n_lt, classes = noise._rounded_phase_classes(ph, [1, 2])
+    assert (n_gt, n_lt) == (2, 1)
+    assert classes == ["rounded_phase_lt_zero", "boot_noise"]
+
+
+def test_round_mod_switch_roundtrip():
+    """Rounding to the 2N space then re-encoding keeps phases on the 2N grid
+    and within 1/(4N) of the original."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    N = 64
+    a = jnp.asarray(np.random.default_rng(0).integers(-2**31, 2**31,
+                                                      (8,), np.int64),
+                    jnp.int32)
+    ra, _ = noise._round_mod_switch(a, a, N)
+    step = 1 << (32 - 7)  # 2^32 / (2N)
+    assert np.all(np.asarray(ra) % step == 0)
+    diff = (np.asarray(ra, np.int64) - np.asarray(a, np.int64))
+    diff = (diff + 2**31) % 2**32 - 2**31
+    assert np.abs(diff).max() <= step // 2

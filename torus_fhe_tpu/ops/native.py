@@ -23,15 +23,31 @@ def _find_lib():
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(here, "native", "libtorus_native.so")
     if not os.path.exists(path):
-        # build on first use (the .so is not checked in); any failure -> numpy
+        # build on first use (the .so is not checked in); failures fall back
+        # to numpy WITH a diagnosis line (silent perf downgrades are
+        # undebuggable — ADVICE r3). TORUS_NATIVE_NO_BUILD=1 disables the
+        # implicit build for restricted environments (`make -C native` is the
+        # explicit alternative).
+        if os.environ.get("TORUS_NATIVE_NO_BUILD"):
+            return None
+        import warnings
+
         try:
             import subprocess
 
-            subprocess.run(["make", "-C", os.path.join(here, "native")],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
+            proc = subprocess.run(["make", "-C", os.path.join(here, "native")],
+                                  capture_output=True, timeout=120)
+            if proc.returncode != 0:
+                warnings.warn(
+                    "torus_native build failed (numpy fallback): "
+                    + proc.stderr.decode(errors="replace").strip()[-500:])
+                return None
+        except Exception as e:
+            warnings.warn(f"torus_native build failed (numpy fallback): {e!r}")
             return None
         if not os.path.exists(path):
+            warnings.warn("torus_native build produced no library "
+                          "(numpy fallback)")
             return None
     try:
         lib = ctypes.CDLL(path)

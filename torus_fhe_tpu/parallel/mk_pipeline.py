@@ -51,14 +51,27 @@ def build_sharded_mk_fb(ck_samples, params, parties: int, mesh: Mesh):
     samples = np.asarray(jax.device_get(ck_samples))
     hi = hi_round_samples(samples).reshape(parties, n, *samples.shape[1:])
     sharding = NamedSharding(mesh, P(PARTY_AXIS))
-    devs = list(mesh.devices.reshape(-1))
-    # build each party's shard on its own device
+    # Expand each party's shard ON its target device and assemble the global
+    # array from the per-device pieces — the full key never resides on any
+    # single device (at 8 parties it wouldn't fit: module docstring).
+    first = None
+    cache: dict[int, jax.Array] = {}
     shards = []
-    for p in range(parties):
-        with jax.default_device(devs[p % len(devs)]):
-            shards.append(fblock.build_fblocks(hi[p], geom))
-    stacked = jnp.stack([jax.device_get(s) for s in shards])
-    return jax.device_put(stacked, sharding)
+    probe_shape = (parties, n, 1, 1)  # party split only; trailing dims ignored
+    for dev, idx in sharding.addressable_devices_indices_map(probe_shape).items():
+        p = idx[0].start if idx[0].start is not None else 0
+        if p not in cache:
+            with jax.default_device(dev):
+                cache[p] = jnp.expand_dims(fblock.build_fblocks(hi[p], geom), 0)
+        arr = cache[p]
+        if first is None:
+            first = arr
+        if dev not in arr.devices():
+            arr = jax.device_put(arr, dev)
+        shards.append(arr)
+    global_shape = (parties,) + tuple(first.shape[1:])
+    return jax.make_array_from_single_device_arrays(global_shape, sharding,
+                                                    shards)
 
 
 def _local_geom(params):

@@ -36,9 +36,13 @@ class NoiseReport:
     bk_bytes: int
     ks_bytes: int
     bootstrap_wall_s: float
-    # error-class taxonomy (docs/3gen/MANUAL.md:106-113): in the
-    # expected-positive frame the phase should land in (0, 1/4); a wrong
-    # decryption is classed by which side it left the band
+    # error-class taxonomy (docs/3gen/MANUAL.md:106-113,
+    # measurements_us_simplified_3.jl:126-160): the mod-switch-ROUNDED
+    # pre-bootstrap gate phase, mapped to the expected-positive frame, is
+    # classified over ALL trials against the (0, 1/4) band — > 1/4 means the
+    # rounding pushed the phase past the test-vector half (wrong phase,
+    # still a correct decryption); < 0 means the rounded phase crossed the
+    # sign boundary (wrong phase AND wrong decryption)
     wrong_phase_gt_quarter: int = 0
     wrong_phase_lt_zero: int = 0
     boot_noises: np.ndarray | None = None  # raw per-trial bootstrapped noise
@@ -72,19 +76,31 @@ class NoiseReport:
     wrong_classes: list = dataclasses.field(default_factory=list)
 
 
-def _classify_wrong(phase_pos: np.ndarray, wrong: np.ndarray):
-    """Classes for wrong trials given phases mapped to the expected-positive
-    frame (True-message orientation): 'phase_gt_quarter' when the phase
-    overshot past 1/4, 'phase_lt_zero' when it crossed the sign boundary
-    (the reference's two wrong-decryption classes,
-    measurements_us_simplified_3.jl:76-77)."""
-    quarter = 0.25
+def _rounded_phase_classes(phase_pos: np.ndarray, wrong: np.ndarray):
+    """Reference taxonomy (measurements_us_simplified_3.jl:126-160): the
+    mod-switch-rounded gate phase in the expected-positive frame, checked
+    against the (0, 1/4) band over ALL trials. Returns
+    (n_gt_quarter, n_lt_zero, classes_for_wrong_indices)."""
+    n_gt = int(np.sum(phase_pos > 0.25))
+    n_lt = int(np.sum(phase_pos < 0.0))
     classes = []
     for idx in wrong:
         p = float(phase_pos[idx])
-        classes.append("phase_gt_quarter" if p > quarter else "phase_lt_zero")
-    n_gt = sum(c == "phase_gt_quarter" for c in classes)
-    return classes, n_gt, len(classes) - n_gt
+        classes.append("rounded_phase_gt_quarter" if p > 0.25
+                       else "rounded_phase_lt_zero" if p < 0.0
+                       else "boot_noise")  # rounded phase in band: the
+        # bootstrap itself (not the mod-switch) produced the wrong bit
+    return n_gt, n_lt, classes
+
+
+def _round_mod_switch(a, b, N: int):
+    """Mod-switch round an LWE/MK mask+body to the 2N message space and map
+    back (the reference's temp_bara/temp_barb re-encode,
+    measurements_us_simplified_3.jl:137-143)."""
+    from ..core.torus import decode_message, encode_message
+
+    return (encode_message(decode_message(a, 2 * N), 2 * N, a.dtype),
+            encode_message(decode_message(b, 2 * N), 2 * N, b.dtype))
 
 
 def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
@@ -113,10 +129,24 @@ def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
     phase = np.asarray(lwe_phase(out, sk.key))
     boot = np.asarray(noise_calc(mu, phase))
     dec = phase > 0
-    wrong = np.nonzero(dec != np.asarray(msgs))[0]
-    phase_pos = np.where(np.asarray(msgs), 1.0, -1.0) * (
-        phase.astype(np.float64) / 2.0**32)
-    classes, n_gt, n_lt = _classify_wrong(phase_pos, wrong)
+    want = np.asarray(msgs)
+    wrong = np.nonzero(dec != want)[0]
+
+    # reference-faithful rounded-phase taxonomy: form the next gate's affine
+    # combination from the BOOTSTRAPPED output (the reference combines two
+    # bootstrapped ciphertexts, measurements_us_simplified_3.jl:131-143),
+    # mod-switch round it to 2N, and classify its phase over ALL trials.
+    # NAND(out, out) = !want, expected-positive frame maps on that.
+    from ..lwe import LweSample
+
+    N = params.rlwe_polynomial_degree
+    temp = LweSample(-(out.a + out.a),
+                     encode_message(1, 8) - (out.b + out.b))
+    ra, rb = _round_mod_switch(temp.a, temp.b, N)
+    phase_r = np.asarray(lwe_phase(LweSample(ra, rb), sk.key))
+    phase_pos = np.where(~want, 1.0, -1.0) * (
+        phase_r.astype(np.float64) / 2.0**32)
+    n_gt, n_lt, classes = _rounded_phase_classes(phase_pos, wrong)
 
     bk = ck.bootstrap_key
     bk_bytes = (bk.kernels if bk.kernels is not None else bk.fb).nbytes
@@ -207,9 +237,19 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
     boot = np.asarray(noise_calc(mu_out, phase))
     dec = phase > 0
     wrong = np.nonzero(dec != want)[0]
-    phase_pos = np.where(want, 1.0, -1.0) * (
-        phase.astype(np.float64) / 2.0**32)
-    classes, n_gt, n_lt = _classify_wrong(phase_pos, wrong)
+
+    # rounded-phase taxonomy on the next gate's combination of BOOTSTRAPPED
+    # inputs (measurements_us_simplified_3.jl:131-160): NAND(out, out) = !want
+    from ..mk.samples import MKLweSample
+
+    N = params.rlwe_polynomial_degree
+    temp = MKLweSample(-(out.a + out.a),
+                       encode_message(1, 8) - (out.b + out.b))
+    ra, rb = _round_mod_switch(temp.a, temp.b, N)
+    phase_r = np.asarray(mk_lwe_phase(MKLweSample(ra, rb), lwe_keys))
+    phase_pos = np.where(~np.asarray(want), 1.0, -1.0) * (
+        phase_r.astype(np.float64) / 2.0**32)
+    n_gt, n_lt, classes = _rounded_phase_classes(phase_pos, wrong)
     return NoiseReport(trials, float(fresh.std()), float(np.abs(fresh).max()),
                        float(boot.std()), float(np.abs(boot).max()),
                        int(wrong.size), wrong.tolist()[:16],

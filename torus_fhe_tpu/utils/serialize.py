@@ -148,7 +148,14 @@ def load_cloud_key(path: str, forms=None, fblock_device=None):
     from ..boot.bootstrap import BootstrapKey, rebuild_bk_forms
     from ..boot.keyswitch import KeyswitchKey
 
-    kind, arrs, params, extra = load_named(path)
+    try:
+        kind, arrs, params, extra = load_named(path)
+    except ValueError:
+        # legacy positional layout (pre-named format): dict leaves flatten in
+        # sorted key order -> ("bk", "ks", "ks_meta")
+        kind, leaves, params = load(path)
+        arrs = dict(zip(("bk", "ks", "ks_meta"), leaves))
+        extra = {}
     assert kind == "cloud_key", kind
     ksk = KeyswitchKey(jnp.asarray(arrs["ks"]), int(arrs["ks_meta"][0]),
                        int(arrs["ks_meta"][1]))
@@ -199,9 +206,16 @@ def load_mk_cloud_key(path: str, forms=None, fblock_device=None):
     from ..mk.keys3gen import MKCloudKey, hi_round_samples, mk_fb_geometry
     from ..ops import fblock, poly
 
-    kind, arrs, params, extra = load_named(path)
+    try:
+        kind, arrs, params, extra = load_named(path)
+        parties = int(extra["parties"])
+    except ValueError:
+        # legacy positional layout: sorted keys -> ("bk", "ks", "parties")
+        kind, leaves, params = load(path)
+        arrs = dict(zip(("bk", "ks"), leaves[:2]))
+        parties = int(np.asarray(leaves[2]).reshape(-1)[0])
+        extra = {}
     assert kind == "mk_cloud_key", kind
-    parties = int(extra["parties"])
     ks = jnp.asarray(arrs["ks"])
     if "samples" not in arrs:
         return MKCloudKey(jnp.asarray(arrs["bk"]), ks, parties, params)
