@@ -102,9 +102,13 @@ def main():
                 if fb_bytes <= args.fb_limit_gb * 2**30:
                     forms = ("fblock",)  # the fast Pallas path
                 else:
+                    # expanded key exceeds HBM: the compact/streamed fast form
+                    # (chunked on-the-fly expansion — the >=4-party one-chip
+                    # answer, ops/fblock.blind_rotate_streamed)
+                    forms = ("fbstream",)
                     print(f"# 3gen p={parties}: F-block would be "
                           f"{fb_bytes / 2**30:.1f} GB > --fb-limit-gb; "
-                          f"using the conv scan", file=sys.stderr)
+                          f"using the streamed compact form", file=sys.stderr)
             sks = [mk.mk_party_keygen(jax.random.PRNGKey(10 + p), p3)
                    for p in range(parties)]
             ck = mk.mk_cloud_keygen(jax.random.PRNGKey(9), sks, p3,
@@ -114,8 +118,9 @@ def main():
             gate = functools.partial(
                 jax.jit(lambda _ck, x, y: gates3gen.mk_gate_nand(_ck, x, y)),
                 ck)
-            setups["3gen" + ("-fb" if forms == ("fblock",) else "")] = (
-                p3, [s.lwe for s in sks], gate)
+            tag = {"fblock": "3gen-fb", "fbstream": "3gen-fbs",
+                   "conv": "3gen"}[forms[0]]
+            setups[tag] = (p3, [s.lwe for s in sks], gate)
         if "ccs" in args.schemes:
             pc = params_for("ccs")
             sks = [mccs.ccs_party_keygen(jax.random.PRNGKey(20 + p), pc)

@@ -187,3 +187,81 @@ def test_fb_gate_truth_table(keys_fb):
     out = gates3gen.mk_gate_nand(ck, cx, cy)
     dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
     np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))
+
+
+def test_expand_fblock_chunk_matches_build(keys_fb):
+    """The on-device roll-based expansion equals build_fblocks slice-for-slice
+    (the streamed path's inner step)."""
+    from torus_fhe_tpu.mk.keys3gen import hi_round_samples, mk_fb_geometry
+    from torus_fhe_tpu.ops import fblock
+
+    sks, ck = keys_fb
+    geom = mk_fb_geometry(PARAMS, ck.parties)
+    hi = hi_round_samples(np.asarray(jax.device_get(ck.bk_samples)))
+    sel = fblock.build_sel(hi, geom)
+    full = np.asarray(jax.device_get(fblock.build_fblocks(hi, geom)))
+    got = np.asarray(jax.device_get(
+        fblock.expand_fblock_chunk(jnp.asarray(sel[3:9]), geom)))
+    np.testing.assert_array_equal(got, full[3:9])
+
+
+def test_streamed_rotate_bit_exact(keys_fb):
+    """blind_rotate_streamed (compact key, chunked on-the-fly expansion) is
+    bit-identical to the full F-block path — including non-divisible chunk
+    sizes exercising the identity pad steps."""
+    from torus_fhe_tpu.mk import boot3gen
+    from torus_fhe_tpu.mk.keys3gen import (MKCloudKey, hi_round_samples,
+                                           mk_fb_geometry)
+    from torus_fhe_tpu.ops import fblock
+
+    sks, ck = keys_fb
+    geom = mk_fb_geometry(PARAMS, ck.parties)
+    hi = hi_round_samples(np.asarray(jax.device_get(ck.bk_samples)))
+    sel = jnp.asarray(fblock.build_sel(hi, geom))
+    rng = np.random.default_rng(1)
+    B = 3
+    n_steps = ck.parties * PARAMS.lwe_size
+    bara = jnp.asarray(rng.integers(0, 2 * PARAMS.rlwe_polynomial_degree,
+                                    (B, n_steps), dtype=np.int64), jnp.int32)
+    barb = jnp.asarray(rng.integers(0, 2 * PARAMS.rlwe_polynomial_degree,
+                                    (B,), dtype=np.int64), jnp.int32)
+    mu = jnp.asarray(1 << 61, jnp.int64)
+    u_full = boot3gen._fast_rotate_extract(ck, mu, bara, barb, B)
+
+    ck_s = MKCloudKey(None, ck.ks_mat, ck.parties, PARAMS, None, None, sel)
+    for chunk in (n_steps, 12):  # 12 does not divide 32 -> pad steps
+        from functools import partial
+
+        from torus_fhe_tpu.ops.fblock import blind_rotate_streamed
+        import torus_fhe_tpu.ops.fblock as fbmod
+
+        orig = fbmod.blind_rotate_streamed
+        fbmod.blind_rotate_streamed = partial(orig, chunk=chunk)
+        try:
+            u_str = boot3gen._fast_rotate_extract(ck_s, mu, bara, barb, B)
+        finally:
+            fbmod.blind_rotate_streamed = orig
+        np.testing.assert_array_equal(np.asarray(u_str.a), np.asarray(u_full.a))
+        np.testing.assert_array_equal(np.asarray(u_str.b), np.asarray(u_full.b))
+
+
+def test_streamed_gate_truth_table(keys_fb):
+    """mk_gate_nand through the compact/streamed key form decrypts correctly
+    end-to-end (the >=4-party one-chip fast-path configuration)."""
+    from torus_fhe_tpu.mk.keys3gen import (MKCloudKey, hi_round_samples,
+                                           mk_fb_geometry)
+    from torus_fhe_tpu.ops import fblock
+
+    sks, ck = keys_fb
+    geom = mk_fb_geometry(PARAMS, ck.parties)
+    hi = hi_round_samples(np.asarray(jax.device_get(ck.bk_samples)))
+    sel = jnp.asarray(fblock.build_sel(hi, geom))
+    ck_s = MKCloudKey(None, ck.ks_mat, ck.parties, PARAMS, None, None, sel)
+    lwe_keys = [sk.lwe for sk in sks]
+    xs = jnp.array([False, False, True, True])
+    ys = jnp.array([False, True, False, True])
+    cx = mk.mk_encrypt(jax.random.PRNGKey(8), lwe_keys, xs, PARAMS)
+    cy = mk.mk_encrypt(jax.random.PRNGKey(9), lwe_keys, ys, PARAMS)
+    out = gates3gen.mk_gate_nand(ck_s, cx, cy)
+    dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
+    np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))

@@ -98,6 +98,34 @@ def knn_predict(ck: CloudKey, train_rows: LweSample, train_labels: LweSample,
     return gates.gate_not(ck, less)
 
 
+def threshold_tail(decision: LweSample, sk: SecretKey, rng_key, t: int = 3,
+                   p: int = 5, subset=(1, 2, 4), bound_start: float = 0.0125,
+                   bound_stop: float = 1e-3) -> list[dict]:
+    """The reference's application tail
+    (ciphertext_conversion_threshold_decryption,
+    src/KNN_medical_data.cpp:531-572): embed the decision bit into ring-LWE
+    (TLweFromLwe), Benaloh–Leichter (3,5)-share the ring key, and
+    threshold-decrypt with party subset {1,2,4} across the smudging-bound
+    sweep 0.0125 → 1e-3 (halving), sign-decoding coefficient 0."""
+    from ..threshold.convert import tlwe_from_lwe
+    from ..threshold.decrypt import threshold_decrypt
+    from ..threshold.shares import share_secret_streaming
+
+    ring = tlwe_from_lwe(decision)
+    key_poly = jnp.asarray(sk.key.key).reshape(1, -1).astype(jnp.int32)
+    repo = share_secret_streaming(key_poly, t, p, jax.random.fold_in(rng_key, 0))
+    results = []
+    bound, i = bound_start, 1
+    while bound > bound_stop:
+        plain = threshold_decrypt(ring, repo, list(subset), bound,
+                                  jax.random.fold_in(rng_key, i))
+        bit = int(np.asarray(jax.device_get(plain)).reshape(-1)[0] > 0)
+        results.append({"bound": bound, "bit": bit})
+        bound /= 2
+        i += 1
+    return results
+
+
 def encrypt_dataset(key, sk: SecretKey, features: np.ndarray, labels: np.ndarray,
                     width: int):
     """Bitwise-encrypt an integer feature matrix (rows, cols) and label bits."""
@@ -137,7 +165,8 @@ def load_cardio_csv(path: str, train_rows: int = 5, test_rows: int = 1,
 def run_pipeline(key, sk: SecretKey, ck: CloudKey, csv_path: str, k: int = 5,
                  width: int = 8, train_rows: int = 5, test_rows: int = 1,
                  feature_cols=None, scale_shift: int = 0,
-                 jit_predict: bool = False) -> dict:
+                 jit_predict: bool = False,
+                 with_threshold_tail: bool = False) -> dict:
     """End-to-end encrypted-KNN accuracy pipeline
     (src/KNN_medical_data.cpp:818-851 + accuracy tally :738-748): load the
     CSV, encrypt train+test rows, predict every test row homomorphically,
@@ -158,7 +187,7 @@ def run_pipeline(key, sk: SecretKey, ck: CloudKey, csv_path: str, k: int = 5,
     predict = (jax.jit(lambda c, f, l, t: knn_predict(c, f, l, t, k, width))
                if jit_predict else
                (lambda c, f, l, t: knn_predict(c, f, l, t, k, width)))
-    predictions = []
+    predictions, tails = [], []
     for i in range(te_f.shape[0]):
         if i and not jit_predict:
             # the eager path compiles hundreds of distinct XLA programs;
@@ -171,7 +200,15 @@ def run_pipeline(key, sk: SecretKey, ck: CloudKey, csv_path: str, k: int = 5,
         from ..boot import api as _api
 
         predictions.append(int(np.asarray(_api.decrypt(sk, decision))))
+        if with_threshold_tail:
+            # the reference runs the (3,5)-threshold tail per test row
+            # (KNN_medical_data.cpp:750)
+            tails.append(threshold_tail(decision, sk,
+                                        jax.random.fold_in(key, 90 + i)))
     correct = sum(int(p == int(t)) for p, t in zip(predictions, te_l))
-    return {"predictions": predictions, "labels": te_l.tolist(),
-            "correct": correct, "total": len(predictions),
-            "accuracy": correct / max(1, len(predictions))}
+    out = {"predictions": predictions, "labels": te_l.tolist(),
+           "correct": correct, "total": len(predictions),
+           "accuracy": correct / max(1, len(predictions))}
+    if with_threshold_tail:
+        out["threshold_tail"] = tails
+    return out

@@ -17,6 +17,8 @@ concatenate into a single MXU matmul; the b-parts reduce by summation — the
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +32,32 @@ from .keys3gen import MKCloudKey
 from .samples import MKLweSample
 
 
+def _eager_jit_dispatch(impl_cache, ck, mu, x):
+    """Route an eager gate call through a jit-compiled program (cached per
+    static mu): op-by-op eager dispatch is ruinous through the TPU tunnel,
+    and application circuits (apps/mk_knn) call gates eagerly. Inside an
+    enclosing jit (tracer input) the impl inlines as before."""
+    if (isinstance(mu, (int, np.integer))
+            and not isinstance(x.b, jax.core.Tracer)
+            and not isinstance(x.a, jax.core.Tracer)):
+        return impl_cache(int(mu))(ck, x)
+    return None
+
+
 def mk_bootstrap_wo_keyswitch(ck: MKCloudKey, mu, x: MKLweSample) -> LweSample:
+    out = _eager_jit_dispatch(_jitted_boot_wo_ks, ck, mu, x)
+    if out is not None:
+        return out
+    return _mk_bootstrap_wo_keyswitch_impl(ck, mu, x)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_boot_wo_ks(mu_int: int):
+    return jax.jit(lambda ck, x: _mk_bootstrap_wo_keyswitch_impl(
+        ck, mu_int, x))
+
+
+def _mk_bootstrap_wo_keyswitch_impl(ck: MKCloudKey, mu, x: MKLweSample) -> LweSample:
     """Mod-switch the (parties, n) mask and blind-rotate the [mu..mu] test
     vector through all parties' CMux steps (3gen_mk_internals.jl:99-109).
 
@@ -48,7 +75,8 @@ def mk_bootstrap_wo_keyswitch(ck: MKCloudKey, mu, x: MKLweSample) -> LweSample:
 
     from ..boot.bootstrap import get_rotate_backend
 
-    if ck.bk_fb is not None and get_rotate_backend() != "scan":
+    if ((ck.bk_fb is not None or ck.bk_fb_sel is not None)
+            and get_rotate_backend() != "scan"):
         u = _fast_rotate_extract(ck, mu, bara, barb, B)
     else:
         dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
@@ -80,36 +108,62 @@ def _fast_rotate_extract(ck: MKCloudKey, mu, bara, barb, B: int) -> LweSample:
         v = int(np.asarray(jax.device_get(mu)).reshape(()))
         mu_static = v if jnp.asarray(mu).dtype == jnp.int32 else v >> 32
 
-    if on_tpu and mu_static is not None:
-        from ..ops.pallas_rotate import blind_rotate_pallas
+    streamed = ck.bk_fb is None and ck.bk_fb_sel is not None
 
-        # the hi-word rotate is int32-pure; under jax_enable_x64 the Pallas
-        # lowering emits i64 index types that crash the TPU compile helper,
-        # so trace this call in x64-off mode (bit-identical semantics)
-        with jax.enable_x64(False):
-            acc = blind_rotate_pallas(
-                None, ck.bk_fb, bara, geom, tg32.decomp_length,
-                tg32.log2_base, tg32.offset, stepvec=(mu_static, barb))
-    else:
+    def _acc0():
         from ..ops import poly
 
         if mu_static is not None:
             mu32 = jnp.int32(mu_static)
         else:
-            mu = jnp.asarray(mu)
-            mu32 = (mu if mu.dtype == jnp.int32
-                    else (mu >> 32).astype(jnp.int32))
+            mu_a = jnp.asarray(mu)
+            mu32 = (mu_a if mu_a.dtype == jnp.int32
+                    else (mu_a >> 32).astype(jnp.int32))
         tv = jnp.broadcast_to(mu32, (B, geom.N))
         tv = poly.mul_by_monomial(tv, -barb)
-        acc0 = jnp.zeros((B, geom.C, geom.N), jnp.int32)
-        acc0 = acc0.at[:, geom.C - 1].set(tv)
+        return jnp.zeros((B, geom.C, geom.N), jnp.int32).at[
+            :, geom.C - 1].set(tv)
+
+    if on_tpu and mu_static is not None:
+        # the hi-word rotate is int32-pure; under jax_enable_x64 the Pallas
+        # lowering emits i64 index types that crash the TPU compile helper,
+        # so trace this call in x64-off mode (bit-identical semantics)
+        with jax.enable_x64(False):
+            if streamed:
+                acc = fblock.blind_rotate_streamed(
+                    None, ck.bk_fb_sel, bara, geom, tg32.decomp_length,
+                    tg32.log2_base, tg32.offset,
+                    stepvec=(mu_static, barb), use_pallas=True)
+            else:
+                from ..ops.pallas_rotate import blind_rotate_pallas
+
+                acc = blind_rotate_pallas(
+                    None, ck.bk_fb, bara, geom, tg32.decomp_length,
+                    tg32.log2_base, tg32.offset, stepvec=(mu_static, barb))
+    elif streamed:
+        acc = fblock.blind_rotate_streamed(
+            _acc0(), ck.bk_fb_sel, bara, geom, tg32.decomp_length,
+            tg32.log2_base, tg32.offset, use_pallas=False)
+    else:
         acc = fblock.blind_rotate_fblock(
-            acc0, ck.bk_fb, bara, geom, tg32.decomp_length, tg32.log2_base,
+            _acc0(), ck.bk_fb, bara, geom, tg32.decomp_length, tg32.log2_base,
             tg32.offset)
     return rlwe_extract_sample(RLweSample(acc))
 
 
 def mk_keyswitch(ck: MKCloudKey, u: LweSample) -> MKLweSample:
+    if not isinstance(u.b, jax.core.Tracer) and not isinstance(
+            u.a, jax.core.Tracer):
+        return _jitted_keyswitch()(ck, u)
+    return _mk_keyswitch_impl(ck, u)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_keyswitch():
+    return jax.jit(_mk_keyswitch_impl)
+
+
+def _mk_keyswitch_impl(ck: MKCloudKey, u: LweSample) -> MKLweSample:
     """Per-party keyswitch of the extracted sample with one shared one-hot
     matmul (mk_keyswitch_3gen, mk_internals.jl:730-744)."""
     params = ck.params
@@ -140,5 +194,14 @@ def mk_keyswitch(ck: MKCloudKey, u: LweSample) -> MKLweSample:
 
 def mk_bootstrap(ck: MKCloudKey, mu, x: MKLweSample) -> MKLweSample:
     """Full multikey bootstrap (mk_bootstrap_3gen, 3gen_mk_internals.jl:112-117)."""
-    u = mk_bootstrap_wo_keyswitch(ck, mu, x)
+    out = _eager_jit_dispatch(_jitted_bootstrap, ck, mu, x)
+    if out is not None:
+        return out
+    u = _mk_bootstrap_wo_keyswitch_impl(ck, mu, x)
     return mk_keyswitch(ck, u)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_bootstrap(mu_int: int):
+    return jax.jit(lambda ck, x: mk_keyswitch(
+        ck, _mk_bootstrap_wo_keyswitch_impl(ck, mu_int, x)))

@@ -37,7 +37,7 @@ def _mu(ck) -> int:
     if not jax.config.jax_enable_x64:
         # no real int64 available: deliver the hi word directly — valid for
         # the hi-word F-block fast path, the only 64-bit backend without x64
-        assert ck.bk_fb is not None, \
+        assert ck.bk_fb is not None or ck.bk_fb_sel is not None, \
             "64-bit MK scan backend needs jax_enable_x64"
         return 1 << 29
     return 1 << 61  # encode_message(1, 8) on the 64-bit torus
@@ -110,6 +110,15 @@ BINARY_GATES = {"nand": mk_gate_nand, "or": mk_gate_or, "and": mk_gate_and,
                 "xor": mk_gate_xor}
 BINARY_GATES_WB = {"nand": mk_gate_nand_wb, "or": mk_gate_or_wb,
                    "and": mk_gate_and_wb, "xor": mk_gate_xor_wb}
+
+
+def mk_gate_constant(ck: MKCloudKey, values) -> MKLweSample:
+    """Noiseless trivial MK encryption of boolean constants (the multikey
+    analog of boot/gates.gate_constant; mk_lwe_noiseless_trivial,
+    mk_internals.jl:94-96) — cloud-side plaintext constants for circuits."""
+    values = jnp.asarray(values)
+    mu = jnp.where(values, encode_message(1, 8), encode_message(-1, 8))
+    return mk_lwe_noiseless_trivial(mu, ck.params.lwe, ck.parties, values.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +218,62 @@ def mk_int_mul(ck: MKCloudKey, a, b, zero: MKLweSample, width: int) -> MKLweSamp
         if len(result) < 2 * width:
             result.append(_bit(tmp, i))
     return _stack_bits(result[:width])
+
+
+def mk_word_constant(ck: MKCloudKey, word: MKLweSample, value: bool) -> MKLweSample:
+    """A trivial constant BIT shaped like one bit of a bit-axis word (the
+    trailing batch axes of ``word``)."""
+    return mk_gate_constant(ck, jnp.full(word.b.shape[1:], value, bool))
+
+
+def mk_subtract(ck: MKCloudKey, a: MKLweSample, b: MKLweSample,
+                width: int) -> MKLweSample:
+    """a - b = a + ~b + 1 over bit-axis MK words (the MK twin of
+    circuits/words.subtract; difference, src/bootstrap_modules.cpp:284-339).
+    Bit width-1 of the result is the borrow/sign bit."""
+    one = mk_word_constant(ck, a, True)
+    return mk_add(ck, a, mk_inv(ck, b, one, width), one, width)
+
+
+def mk_mux_word(ck: MKCloudKey, sel: MKLweSample, a: MKLweSample,
+                b: MKLweSample) -> MKLweSample:
+    """Word-wide MUX: sel ? a : b — one batched double bootstrap across the
+    whole word (the MK twin of circuits/words.mux_word)."""
+    sel_w = MKLweSample(jnp.broadcast_to(sel.a, a.a.shape),
+                        jnp.broadcast_to(sel.b, a.b.shape))
+    return mk_gate_mux(ck, sel_w, a, b)
+
+
+def mk_compare_swap(ck: MKCloudKey, a: MKLweSample, b: MKLweSample,
+                    width: int):
+    """(min, max) of two encrypted MK words via subtract + MUX (the
+    compare-and-swap of sort_with_distance, src/KNN_medical_data.cpp:410-489)."""
+    a_less = _bit(mk_subtract(ck, a, b, width), width - 1)
+    lo = mk_mux_word(ck, a_less, a, b)
+    hi = mk_mux_word(ck, a_less, b, a)
+    return lo, hi
+
+
+def mk_bubble_sort(ck: MKCloudKey, word_list, width: int, payloads=None):
+    """Sort encrypted MK words ascending; optional payload word lists move
+    with their keys (sort_with_distance, src/KNN_medical_data.cpp:410-489,
+    over MK ciphertexts)."""
+    word_list = list(word_list)
+    payloads = [list(p) for p in payloads] if payloads is not None else None
+    m = len(word_list)
+    for i in range(m - 1):
+        for j in range(m - 1 - i):
+            a_less = _bit(mk_subtract(ck, word_list[j], word_list[j + 1],
+                                      width), width - 1)
+            lo = mk_mux_word(ck, a_less, word_list[j], word_list[j + 1])
+            hi = mk_mux_word(ck, a_less, word_list[j + 1], word_list[j])
+            word_list[j], word_list[j + 1] = lo, hi
+            if payloads is not None:
+                for p in payloads:
+                    plo = mk_mux_word(ck, a_less, p[j], p[j + 1])
+                    phi = mk_mux_word(ck, a_less, p[j + 1], p[j])
+                    p[j], p[j + 1] = plo, phi
+    return (word_list, payloads) if payloads is not None else word_list
 
 
 def mk_conv2d(ck: MKCloudKey, image, kernels, zero: MKLweSample, stride: int,

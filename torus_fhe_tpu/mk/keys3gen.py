@@ -137,8 +137,13 @@ class MKCloudKey:
 
     ``bk_fb`` is the fast TPU form: the 64-bit-torus BK *hi-word rounded* to
     Torus32 granularity and laid out as a 32-bit F-block key (see
-    hi_round_samples) — drives the fused Pallas kernel. ``bk_samples`` keeps
-    the compact raw TGSW samples for serialization (utils/serialize)."""
+    hi_round_samples) — drives the fused Pallas kernel. ``bk_fb_sel`` is the
+    COMPACT fast form (ops/fblock.build_sel): the same rounded key as
+    extended limb lines, ~256x smaller, expanded on the fly per step chunk
+    (ops/fblock.blind_rotate_streamed) — the form that gives >=4-party
+    production sets a fast path on ONE chip (their expanded keys exceed
+    HBM: parallel/mk_pipeline.py). ``bk_samples`` keeps the compact raw
+    TGSW samples for serialization (utils/serialize)."""
 
     bk_kernels: jax.Array = None  # (parties*n, 2*limbs, l*2, N) int8
     ks_mat: jax.Array = None  # (K, parties*(n+1)*4) int8 — party-concat tables
@@ -146,10 +151,12 @@ class MKCloudKey:
     params: SchemeParams3Gen = None
     bk_fb: jax.Array = None  # (parties*n, D*R*bs, 8*bs) int8, 32-bit geometry
     bk_samples: jax.Array = None  # (parties*n, l, 2, 2, N) torus64
+    bk_fb_sel: jax.Array = None  # (parties*n, R, 2N, ncols) int8 compact
 
 
 register_dataclass(MKCloudKey,
-                   data_fields=("bk_kernels", "ks_mat", "bk_fb", "bk_samples"),
+                   data_fields=("bk_kernels", "ks_mat", "bk_fb", "bk_samples",
+                                "bk_fb_sel"),
                    meta_fields=("parties", "params"))
 
 
@@ -212,8 +219,10 @@ def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
 
     ``forms``: "conv" packs the scan-backend kernels; "fblock" additionally
     builds the hi-word-rounded 32-bit F-block key (the fast Pallas path on
-    TPU; requires mk_fb_supported(params)). ``keep_samples`` retains the
-    compact raw samples for serialization."""
+    TPU; requires mk_fb_supported(params)); "fbstream" builds the compact
+    fast form instead (expanded per step chunk at rotate time — REQUIRED for
+    >=4-party production sets whose expanded key exceeds one chip's HBM).
+    ``keep_samples`` retains the compact raw samples for serialization."""
     from ..core.params import TGswParams
     from ..ops import fblock
 
@@ -226,7 +235,7 @@ def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
         # hi-word fast path.
         assert jax.config.jax_enable_x64, \
             "64-bit MK keygen requires jax_enable_x64=True"
-    if "fblock" in forms:
+    if "fblock" in forms or "fbstream" in forms:
         assert mk_fb_supported(params), \
             "fblock form needs l*log2B <= 31 and log2B <= 8 (use conv)"
     with on_host():
@@ -262,15 +271,20 @@ def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
         ks_mat = np.concatenate(mats, axis=1)
 
     samples_cat = np.concatenate(all_samples, axis=0)  # (parties*n, l, 2, 2, N)
-    fb = None
-    if "fblock" in forms:
+    fb = fb_sel = None
+    if "fblock" in forms or "fbstream" in forms:
         geom = mk_fb_geometry(params, parties)
         ctx = jax.default_device(device) if device is not None else _nullctx()
         with ctx:
-            fb = fblock.build_fblocks(hi_round_samples(samples_cat), geom)
+            hi = hi_round_samples(samples_cat)
+            if "fblock" in forms:
+                fb = fblock.build_fblocks(hi, geom)
+            if "fbstream" in forms:
+                fb_sel = jnp.asarray(fblock.build_sel(hi, geom))
     ck = MKCloudKey(jnp.asarray(bk) if bk is not None else None,
                     jnp.asarray(ks_mat), parties, params, fb,
-                    jnp.asarray(samples_cat) if keep_samples else None)
+                    jnp.asarray(samples_cat) if keep_samples else None,
+                    fb_sel)
     if jax.devices()[0].platform != "cpu":
         ck = to_device(ck, device)
     return ck

@@ -95,6 +95,54 @@ def seq_perm(D: int) -> np.ndarray:
     return (-np.arange(D)) % D
 
 
+def build_sel(samples: np.ndarray, geom: FBlockGeometry) -> np.ndarray:
+    """The COMPACT F-block form: per CMux step, the extended (negated-wrap)
+    kernel lines split into the kept byte-limb columns.
+
+    samples: (n, l, C, C, N) torus ints (host numpy). Returns
+    (n, R, 2N, ncols) int8 — ~256x smaller than the expanded key; every
+    bs x bs delta block of the expanded key is a shifted window of these
+    lines, so the expansion can be (re)materialised on-device at will
+    (build_fblocks ahead of time, or expand_fblock_chunk streamed per
+    step-chunk when the expanded key exceeds HBM).
+    """
+    n, l, C, C2, N = samples.shape
+    assert (C, N, l * C) == (geom.C, geom.N, geom.R) and C == C2
+    kern = np.ascontiguousarray(samples.reshape(n, geom.R, C, N))
+    with np.errstate(over="ignore"):
+        ext = np.concatenate([kern, -kern], axis=-1)  # wraps mod 2^bits
+    limbs = poly.limb_split_signed_host(ext, geom.bits)  # (n, R, C, 2N, nl)
+    # select the kept (poly, limb) columns -> (n, R, 2N, ncols)
+    sel = np.stack([limbs[:, :, p, :, s // 8] for p, s in geom.cols], axis=-1)
+    return np.ascontiguousarray(sel)
+
+
+def expand_fblock_chunk(sel_chunk, geom: FBlockGeometry) -> jax.Array:
+    """Expand compact kernel lines into the MXU F-block layout ON DEVICE,
+    jit-compatible (the streamed-key path's inner expansion).
+
+    sel_chunk: (cs, R, 2N, ncols) int8. Returns (cs, D*R*bs, ncols*bs) int8
+    in seq_perm delta order — bit-identical to the matching slice of
+    build_fblocks. The expansion is bs static rolls of the line axis (block
+    row p of every delta block is the line rolled by p), i.e. pure
+    slice/concat/transpose: bandwidth-optimal on TPU, no gather.
+    """
+    cs, R, twoN, ncols = sel_chunk.shape
+    D, bs = geom.D, geom.bs
+    assert (R, twoN) == (geom.R, 2 * geom.N) and ncols == len(geom.cols)
+    perm = seq_perm(D)
+    rows = []
+    for p in range(bs):
+        # roll(line, p)[f] = line[(f - p) mod 2N]; W[m, p, q] =
+        # line[(bs*perm[m] + q - p) mod 2N]
+        r = jnp.roll(sel_chunk, p, axis=2)
+        r = r.reshape(cs, R, D, bs, ncols)[:, :, perm]  # (cs, R, m, q, ncols)
+        rows.append(r)
+    g = jnp.stack(rows, axis=3)  # (cs, R, m, p, q, ncols)
+    g = g.transpose(0, 2, 1, 3, 5, 4)  # (cs, m, R, p, ncols, q)
+    return g.reshape(cs, D * R * bs, ncols * bs)
+
+
 def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
                   chunk: int = 64) -> jax.Array:
     """Build the F-block key from raw TGSW samples.
@@ -106,15 +154,8 @@ def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
     axis; the gather/transpose runs on-device in step chunks so only the
     compact ext-limb tensor crosses the transfer boundary.
     """
-    n, l, C, C2, N = samples.shape
-    assert (C, N, l * C) == (geom.C, geom.N, geom.R) and C == C2
-    kern = np.ascontiguousarray(samples.reshape(n, geom.R, C, N))
-    with np.errstate(over="ignore"):
-        ext = np.concatenate([kern, -kern], axis=-1)  # wraps mod 2^bits
-    limbs = poly.limb_split_signed_host(ext, geom.bits)  # (n, R, C, 2N, nl)
-    # select the kept (poly, limb) columns -> (n, R, 2N, ncols)
-    sel = np.stack([limbs[:, :, p, :, s // 8] for p, s in geom.cols], axis=-1)
-    sel = np.ascontiguousarray(sel)
+    n = samples.shape[0]
+    sel = build_sel(samples, geom)
     ncols = len(geom.cols)
 
     perm = seq_perm(geom.D)
@@ -199,4 +240,60 @@ def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
         return acc + delta_t, None
 
     acc, _ = lax.scan(step, acc_a, (fb, jnp.swapaxes(jnp.asarray(bara), 0, 1)))
+    return acc
+
+
+def blind_rotate_streamed(acc_a, sel, bara, geom: FBlockGeometry,
+                          decomp_length: int, log2_base: int, offset: int,
+                          *, chunk: int = 64, stepvec=None,
+                          use_pallas: bool | None = None):
+    """Blind rotate against the COMPACT key, expanding F-blocks on the fly in
+    step chunks — the large-party multikey answer: an 8-party production
+    F-block key is ~72 GB expanded (parallel/mk_pipeline.py) but ~0.6 GB
+    compact, and the expansion is bandwidth-optimal rolls, so one chip runs
+    the fast path at ~2x the HBM traffic of the (impossible-to-fit)
+    pre-expanded key. Replaces the reference's sequential party loop
+    (3-gen-mk-tfhe/src/3gen_mk_internals.jl:66-95) at any party count.
+
+    sel: (steps, R, 2N, ncols) int8 (build_sel); bara: (B, steps) int32.
+    ``stepvec=(mu32, barb)`` builds the initial accumulator (acc_a None), else
+    acc_a: (B, C, N) int32. Bit-identical to blind_rotate_fblock /
+    blind_rotate_pallas on the same key (pad steps are exact identities:
+    bara=0 and zero kernel digits).
+    """
+    steps = sel.shape[0]
+    B = bara.shape[0]
+    N, C = geom.N, geom.C
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    spad = (-steps) % chunk
+    if spad:
+        sel = jnp.concatenate(
+            [sel, jnp.zeros((spad,) + sel.shape[1:], sel.dtype)], axis=0)
+        bara = jnp.concatenate(
+            [bara, jnp.zeros((B, spad), bara.dtype)], axis=1)
+    acc = acc_a
+    if acc is None and not use_pallas:
+        mu32, barb = stepvec
+        tv = jnp.broadcast_to(jnp.int32(mu32), (B, N))
+        tv = poly.mul_by_monomial(tv, -jnp.asarray(barb, jnp.int32))
+        acc = jnp.zeros((B, C, N), jnp.int32).at[:, C - 1].set(tv)
+    geom_c = geom._replace(n=chunk)
+    for c0 in range(0, steps + spad, chunk):
+        fb_c = expand_fblock_chunk(sel[c0:c0 + chunk], geom)
+        bara_c = bara[:, c0:c0 + chunk]
+        if use_pallas:
+            from .pallas_rotate import blind_rotate_pallas
+
+            if acc is None:
+                acc = blind_rotate_pallas(
+                    None, fb_c, bara_c, geom_c, decomp_length, log2_base,
+                    offset, stepvec=stepvec)
+            else:
+                acc = blind_rotate_pallas(
+                    acc, fb_c, bara_c, geom_c, decomp_length, log2_base,
+                    offset)
+        else:
+            acc = blind_rotate_fblock(acc, fb_c, bara_c, geom_c,
+                                      decomp_length, log2_base, offset)
     return acc

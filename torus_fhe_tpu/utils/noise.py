@@ -185,8 +185,8 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
             forms=("fblock",) if fast_form else ("conv",))
         lwe_keys = [sk.lwe for sk in sks]
         gate = lambda a, b: gates3gen.mk_gate_and(ck, a, b)
-        bk_bytes = (ck.bk_kernels if ck.bk_kernels is not None
-                    else ck.bk_fb).nbytes
+        bk_bytes = next(a for a in (ck.bk_kernels, ck.bk_fb, ck.bk_fb_sel)
+                        if a is not None).nbytes
         ks_bytes = ck.ks_mat.nbytes
     elif scheme == "ccs":
         from ..mk import ccs

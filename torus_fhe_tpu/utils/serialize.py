@@ -184,11 +184,12 @@ def load_lwe(path: str):
 
 
 def save_mk_cloud_key(path: str, ck) -> None:
-    """3gen MK cloud key. Prefers the compact raw samples (rebuilds either
+    """3gen MK cloud key. Prefers the compact raw samples (rebuilds any
     MXU form on load); falls back to the conv kernels for keys generated
     without keep_samples."""
     mapping = {"ks": ck.ks_mat}
-    forms = [f for f, v in (("conv", ck.bk_kernels), ("fblock", ck.bk_fb))
+    forms = [f for f, v in (("conv", ck.bk_kernels), ("fblock", ck.bk_fb),
+                            ("fbstream", ck.bk_fb_sel))
              if v is not None]
     if ck.bk_samples is not None:
         mapping["samples"] = ck.bk_samples
@@ -222,18 +223,23 @@ def load_mk_cloud_key(path: str, forms=None, fblock_device=None):
     samples = arrs["samples"]  # (P*n, l, 2, 2, N) host
     forms = tuple(forms if forms is not None
                   else extra.get("forms") or ("conv",))
-    kernels = fb = None
+    kernels = fb = fb_sel = None
     if "conv" in forms:
         kern = samples.reshape(samples.shape[0], samples.shape[1] * 2, 2,
                                samples.shape[-1])
         kernels = jnp.asarray(poly.pack_kernels_host(kern, params.rlwe_bits))
-    if "fblock" in forms:
+    if "fblock" in forms or "fbstream" in forms:
         geom = mk_fb_geometry(params, parties)
         ctx = jax.default_device(fblock_device) if fblock_device is not None \
             else _nullctx()
         with ctx:
-            fb = fblock.build_fblocks(hi_round_samples(samples), geom)
-    return MKCloudKey(kernels, ks, parties, params, fb, jnp.asarray(samples))
+            hi = hi_round_samples(samples)
+            if "fblock" in forms:
+                fb = fblock.build_fblocks(hi, geom)
+            if "fbstream" in forms:
+                fb_sel = jnp.asarray(fblock.build_sel(hi, geom))
+    return MKCloudKey(kernels, ks, parties, params, fb, jnp.asarray(samples),
+                      fb_sel)
 
 
 class _nullctx:
