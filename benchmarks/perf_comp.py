@@ -123,12 +123,15 @@ def main():
             setups[tag] = (p3, [s.lwe for s in sks], gate)
         if "ccs" in args.schemes:
             pc = params_for("ccs")
+            ccs_forms = ("conv",) if args.no_fblock else ("fb",)
             sks = [mccs.ccs_party_keygen(jax.random.PRNGKey(20 + p), pc)
                    for p in range(parties)]
-            ck = mccs.ccs_cloud_keygen(jax.random.PRNGKey(19), sks, pc)
+            ck = mccs.ccs_cloud_keygen(jax.random.PRNGKey(19), sks, pc,
+                                       forms=ccs_forms)
             gate = functools.partial(
                 jax.jit(lambda _ck, x, y: mccs.mk_gate_nand(_ck, x, y)), ck)
-            setups["ccs"] = (pc, [s.lwe for s in sks], gate)
+            setups["ccs-fb" if ccs_forms == ("fb",) else "ccs"] = (
+                pc, [s.lwe for s in sks], gate)
         if "kms" in args.schemes:
             pk_ = params_for("kms")
             sks = [mkms.kms_party_keygen(jax.random.PRNGKey(30 + p), pk_)

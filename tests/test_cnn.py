@@ -60,3 +60,17 @@ def test_extract_patches_free(keys):
     for t, (m, n) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
         np.testing.assert_array_equal(
             got[t], np.asarray(image)[m:m + 2, n:n + 2])
+
+
+def test_conv3d_matches_reference(keys):
+    """True volumetric conv3d (beyond the reference's filter-axis 'conv3d',
+    CNN.jl:9-48) against its plaintext oracle."""
+    sk, ck = keys
+    rng = np.random.default_rng(2)
+    vol = rng.integers(0, 3, (3, 3, 3))
+    kernels = rng.integers(-1, 2, (2, 2, 2, 2))
+    ct = words.int_encrypt(jax.random.PRNGKey(9), sk, jnp.asarray(vol), WIDTH)
+    out = cnn.conv3d(ck, ct, kernels, WIDTH)
+    got = words.int_decrypt(sk, out, WIDTH)  # (F, od, oh, ow)
+    want = cnn.conv3d_reference(vol, kernels) % (1 << WIDTH)
+    np.testing.assert_array_equal(got, want)

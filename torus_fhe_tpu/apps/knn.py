@@ -106,23 +106,31 @@ def threshold_tail(decision: LweSample, sk: SecretKey, rng_key, t: int = 3,
     src/KNN_medical_data.cpp:531-572): embed the decision bit into ring-LWE
     (TLweFromLwe), Benaloh–Leichter (3,5)-share the ring key, and
     threshold-decrypt with party subset {1,2,4} across the smudging-bound
-    sweep 0.0125 → 1e-3 (halving), sign-decoding coefficient 0."""
+    sweep 0.0125 → 1e-3 (halving), sign-decoding coefficient 0.
+
+    Runs on the HOST CPU backend: threshold decryption is the client-side
+    stage (the cloud's TPU work ends at the gate evaluation), and its exact
+    int64 ring products have no TPU lowering."""
     from ..threshold.convert import tlwe_from_lwe
     from ..threshold.decrypt import threshold_decrypt
     from ..threshold.shares import share_secret_streaming
+    from ..utils.device import on_host
 
-    ring = tlwe_from_lwe(decision)
-    key_poly = jnp.asarray(sk.key.key).reshape(1, -1).astype(jnp.int32)
-    repo = share_secret_streaming(key_poly, t, p, jax.random.fold_in(rng_key, 0))
-    results = []
-    bound, i = bound_start, 1
-    while bound > bound_stop:
-        plain = threshold_decrypt(ring, repo, list(subset), bound,
-                                  jax.random.fold_in(rng_key, i))
-        bit = int(np.asarray(jax.device_get(plain)).reshape(-1)[0] > 0)
-        results.append({"bound": bound, "bit": bit})
-        bound /= 2
-        i += 1
+    with on_host():
+        ring = tlwe_from_lwe(LweSample(*jax.device_get(tuple(decision))))
+        key_poly = jnp.asarray(jax.device_get(sk.key.key)).reshape(
+            1, -1).astype(jnp.int32)
+        repo = share_secret_streaming(key_poly, t, p,
+                                      jax.random.fold_in(rng_key, 0))
+        results = []
+        bound, i = bound_start, 1
+        while bound > bound_stop:
+            plain = threshold_decrypt(ring, repo, list(subset), bound,
+                                      jax.random.fold_in(rng_key, i))
+            bit = int(np.asarray(jax.device_get(plain)).reshape(-1)[0] > 0)
+            results.append({"bound": bound, "bit": bit})
+            bound /= 2
+            i += 1
     return results
 
 

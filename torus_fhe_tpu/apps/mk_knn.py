@@ -137,22 +137,30 @@ def mk_threshold_tail(decision: MKLweSample, lwe_keys: Sequence[LweKey],
     src/KNN_medical_data.cpp:531-572): LWE→TLWE embed, (3,5) Benaloh–Leichter
     sharing of the joint ring key, threshold decryption with subset {1,2,4}
     across the smudging-bound sweep 0.0125 → 1e-3 (halving), sign-decoding
-    coefficient 0 at each bound."""
-    lwe = mk_flatten(decision)
-    ring = tlwe_from_lwe(lwe)
-    key_cat = jnp.concatenate([jnp.asarray(k.key) for k in lwe_keys])
-    repo = share_secret_streaming(key_cat.reshape(1, -1).astype(jnp.int32),
-                                  t, p, jax.random.fold_in(rng_key, 0))
-    results = []
-    bound = bound_start
-    i = 1
-    while bound > bound_stop:
-        plain = threshold_decrypt(ring, repo, list(subset), bound,
-                                  jax.random.fold_in(rng_key, i))
-        bit = int(np.asarray(jax.device_get(plain)).reshape(-1)[0] > 0)
-        results.append({"bound": bound, "bit": bit})
-        bound /= 2
-        i += 1
+    coefficient 0 at each bound.
+
+    Runs on the HOST CPU backend: threshold decryption is the client-side
+    (party-side) stage of the pipeline — only gate evaluation is the cloud's
+    TPU work — and its exact int64 ring products have no TPU lowering."""
+    from ..utils.device import on_host
+
+    with on_host():
+        lwe = mk_flatten(jax.device_get(decision))
+        ring = tlwe_from_lwe(lwe)
+        key_cat = jnp.concatenate([jnp.asarray(jax.device_get(k.key))
+                                   for k in lwe_keys])
+        repo = share_secret_streaming(key_cat.reshape(1, -1).astype(jnp.int32),
+                                      t, p, jax.random.fold_in(rng_key, 0))
+        results = []
+        bound = bound_start
+        i = 1
+        while bound > bound_stop:
+            plain = threshold_decrypt(ring, repo, list(subset), bound,
+                                      jax.random.fold_in(rng_key, i))
+            bit = int(np.asarray(jax.device_get(plain)).reshape(-1)[0] > 0)
+            results.append({"bound": bound, "bit": bit})
+            bound /= 2
+            i += 1
     return results
 
 

@@ -131,7 +131,15 @@ def _pack_l_to_1(polys: np.ndarray, bits: int) -> np.ndarray:
 class CCSCloudKey:
     """Assembled CCS cloud key (MKCloudKey, mk_api.jl:440-459): packed
     uni-encryption kernels over parties*n CMux steps, per-party public-key
-    kernels, shared-key kernel, and stacked keyswitch tables."""
+    kernels, shared-key kernel, and stacked keyswitch tables.
+
+    The ``*_sel`` / ``*_fb`` fields are the F-block fast backend (VERDICT r3
+    item 4 — backend parity with AKÖ): the per-step d1/f0/f1 kernels as
+    compact limb lines expanded per step chunk at rotate time
+    (ops/fblock.expand_fblock_chunk), the per-party pk and shared-key
+    kernels pre-expanded (they are tiny and step-invariant). CCS runs a
+    32-bit torus, so no hi-word rounding is involved — the fast path is
+    bit-identical to the conv scan."""
 
     d_kern: jax.Array   # (P*n, L, l, N) int8 — d1 of each (party, key bit)
     f0_kern: jax.Array  # (P*n, L, l, N) int8
@@ -141,24 +149,53 @@ class CCSCloudKey:
     ks_mats: jax.Array  # (P, K, (n+1)*4) int8 — per-party keyswitch tables
     parties: int = 1
     params: SchemeParamsCCS = None
+    d_sel: jax.Array = None   # (P*n, l, 2N, limbs) int8 compact F-block lines
+    f0_sel: jax.Array = None
+    f1_sel: jax.Array = None
+    pk_fb: jax.Array = None   # (P, D*l*bs, limbs*bs) int8 expanded
+    sk_fb: jax.Array = None   # (D*l*bs, limbs*bs) int8 expanded
 
 
 register_dataclass(CCSCloudKey,
                    data_fields=("d_kern", "f0_kern", "f1_kern", "pk_kern",
-                                "sk_kern", "ks_mats"),
+                                "sk_kern", "ks_mats", "d_sel", "f0_sel",
+                                "f1_sel", "pk_fb", "sk_fb"),
                    meta_fields=("parties", "params"))
 
 
+def ccs_fb_geometry(params: SchemeParamsCCS, parties: int):
+    """F-block geometry of ONE gadget contraction line (C=1 output poly,
+    l digit rows) over the parties*n CMux steps."""
+    from ..ops import fblock
+
+    return fblock.fblock_geometry(
+        parties * params.lwe_size, params.rlwe_polynomial_degree, 0,
+        params.bs_decomp_length, params.rlwe_bits, 0)
+
+
 def ccs_cloud_keygen(key, secret_keys: Sequence[CCSSecretKey],
-                     params: SchemeParamsCCS, device=None) -> CCSCloudKey:
+                     params: SchemeParamsCCS, device=None,
+                     forms=("conv",)) -> CCSCloudKey:
     """Full CCS cloud-key pipeline (SharedKey → PublicKeys → per-party
     BootstrapKeyPart uni-encryptions → MKBootstrapKey + KSKs;
-    mk_internals.jl:752-802, mk_api.jl:368-474)."""
+    mk_internals.jl:752-802, mk_api.jl:368-474).
+
+    ``forms``: "conv" packs the scan-backend kernels; "fb" builds the F-block
+    fast backend (compact per-step lines + pre-expanded pk/sk blocks)."""
+    from ..ops import fblock
+
     parties = len(secret_keys)
     assert parties <= params.max_parties
     gp = params.tgsw
     bits = params.rlwe_bits
     N = params.rlwe_polynomial_degree
+    l = gp.decomp_length
+    geom = ccs_fb_geometry(params, parties)
+
+    def _sel(polys):
+        # (M, l, N) torus -> compact F-block lines (M, l, 2N, limbs) int8
+        return fblock.build_sel(
+            np.asarray(polys).reshape(-1, l, 1, 1, N), geom)
 
     with on_host():
         ks_key, kp, kb, kk = jax.random.split(key, 4)
@@ -168,14 +205,20 @@ def ccs_cloud_keygen(key, secret_keys: Sequence[CCSSecretKey],
             for p, sk in enumerate(secret_keys)]
 
         d_k, f0_k, f1_k = [], [], []
+        d_s, f0_s, f1_s = [], [], []
         for p, sk in enumerate(secret_keys):
             bits_msg = np.asarray(jax.device_get(sk.lwe.key), np.int64)
             d1, f0, f1 = uni_encrypt_bits(
                 jax.random.fold_in(kb, p), bits_msg, params.bs_noise_stddev,
                 sk.rlwe, shared_a, pubs[p], gp, N)
-            d_k.append(_pack_l_to_1(d1, bits))
-            f0_k.append(_pack_l_to_1(f0, bits))
-            f1_k.append(_pack_l_to_1(f1, bits))
+            if "conv" in forms:
+                d_k.append(_pack_l_to_1(d1, bits))
+                f0_k.append(_pack_l_to_1(f0, bits))
+                f1_k.append(_pack_l_to_1(f1, bits))
+            if "fb" in forms:
+                d_s.append(_sel(d1))
+                f0_s.append(_sel(f0))
+                f1_s.append(_sel(f1))
 
         pk_kern = _pack_l_to_1(np.stack(pubs), bits)  # (P, L, l, N)
         sk_kern = _pack_l_to_1(shared_a, bits)  # (L, l, N)
@@ -187,11 +230,21 @@ def ccs_cloud_keygen(key, secret_keys: Sequence[CCSSecretKey],
                                   sk.lwe, extract_lwe_key(sk.rlwe))
             mats.append(np.asarray(jax.device_get(ks.mat)))
 
-    ck = CCSCloudKey(jnp.asarray(np.concatenate(d_k)),
-                     jnp.asarray(np.concatenate(f0_k)),
-                     jnp.asarray(np.concatenate(f1_k)),
+    d_sel = f0_sel = f1_sel = pk_fb = sk_fb = None
+    if "fb" in forms:
+        d_sel = jnp.asarray(np.concatenate(d_s))
+        f0_sel = jnp.asarray(np.concatenate(f0_s))
+        f1_sel = jnp.asarray(np.concatenate(f1_s))
+        pk_fb = jnp.stack([fblock.expand_fblock_chunk(
+            jnp.asarray(_sel(pubs[p][None])), geom)[0] for p in range(parties)])
+        sk_fb = fblock.expand_fblock_chunk(
+            jnp.asarray(_sel(shared_a[None])), geom)[0]
+    ck = CCSCloudKey(jnp.asarray(np.concatenate(d_k)) if d_k else None,
+                     jnp.asarray(np.concatenate(f0_k)) if f0_k else None,
+                     jnp.asarray(np.concatenate(f1_k)) if f1_k else None,
                      jnp.asarray(pk_kern), jnp.asarray(sk_kern),
-                     jnp.asarray(np.stack(mats)), parties, params)
+                     jnp.asarray(np.stack(mats)), parties, params,
+                     d_sel, f0_sel, f1_sel, pk_fb, sk_fb)
     if jax.devices()[0].platform != "cpu":
         ck = to_device(ck, device)
     return ck
@@ -274,6 +327,72 @@ def ccs_blind_rotate(acc, ck: CCSCloudKey, bara):
     return acc
 
 
+def _fb_contract_polys(x, fstep, geom, gp: TGswParams):
+    """sum_l g(x_i)_l ⊛ K_l for each input poly via the F-block matmul:
+    x (B, K, N) torus32, fstep (D*l*bs, limbs*bs) int8 → (B, K, N)."""
+    from ..ops import fblock
+
+    B, K, N = x.shape
+    out = fblock.apply_fblock(x.reshape(B * K, 1, N), fstep, geom,
+                              gp.decomp_length, gp.log2_base, gp.offset)
+    return out.reshape(B, K, N)
+
+
+def ccs_blind_rotate_fb(acc, ck: CCSCloudKey, bara, chunk: int = 32):
+    """The CCS CMux chain on the F-block backend: per step-chunk, the compact
+    d1/f0/f1 lines expand on device (ops/fblock.expand_fblock_chunk) and every
+    gadget contraction of UniProduct_old (mk_internals.jl:477-536) runs as
+    block-circulant int8 MXU matmuls — same math as ccs_blind_rotate,
+    bit-identical output, none of the conv lowering.
+    """
+    from ..ops import fblock
+
+    params = ck.params
+    gp = params.tgsw
+    geom = ccs_fb_geometry(params, ck.parties)
+    P, n = ck.parties, params.lwe_size
+    steps = P * n
+    B = acc.shape[0]
+    onehots = jnp.asarray(np.repeat(np.eye(P, dtype=np.int32), n, axis=0))
+    spad = (-steps) % chunk
+    bara = jnp.asarray(bara)
+    if spad:  # identity pad steps: bara=0 digits x zero kernels
+        z = lambda a: jnp.concatenate(
+            [a, jnp.zeros((spad,) + a.shape[1:], a.dtype)], axis=0)
+        d_sel, f0_sel, f1_sel = z(ck.d_sel), z(ck.f0_sel), z(ck.f1_sel)
+        onehots = z(onehots)
+        bara = jnp.concatenate(
+            [bara, jnp.zeros((B, spad), bara.dtype)], axis=1)
+    else:
+        d_sel, f0_sel, f1_sel = ck.d_sel, ck.f0_sel, ck.f1_sel
+
+    def step(acc, xs):
+        d_f, f0_f, f1_f, onehot, bara_i = xs
+        rotated = poly.mul_by_monomial(acc, bara_i)
+        x = rotated - acc  # (B, P+1, N)
+        u = _fb_contract_polys(x, d_f, geom, gp)
+        v_par = jnp.stack(
+            [_fb_contract_polys(x[:, p:p + 1], ck.pk_fb[p], geom, gp)[:, 0]
+             for p in range(P)], axis=1)
+        v0 = -_fb_contract_polys(x[:, P:P + 1], ck.sk_fb, geom, gp)[:, 0]
+        v = jnp.concatenate([v_par, v0[:, None]], axis=1)
+        w0 = _fb_contract_polys(v, f0_f, geom, gp).sum(axis=1, dtype=u.dtype)
+        w1 = _fb_contract_polys(v, f1_f, geom, gp).sum(axis=1, dtype=u.dtype)
+        delta_a = (u[:, :P]
+                   + onehot[None, :, None].astype(u.dtype) * w1[:, None, :])
+        delta_b = u[:, P] + w0
+        return acc + jnp.concatenate([delta_a, delta_b[:, None]], axis=1), None
+
+    for c0 in range(0, steps + spad, chunk):
+        xs = (fblock.expand_fblock_chunk(d_sel[c0:c0 + chunk], geom),
+              fblock.expand_fblock_chunk(f0_sel[c0:c0 + chunk], geom),
+              fblock.expand_fblock_chunk(f1_sel[c0:c0 + chunk], geom),
+              onehots[c0:c0 + chunk],
+              jnp.swapaxes(bara[:, c0:c0 + chunk], 0, 1))
+        acc, _ = jax.lax.scan(step, acc, xs)
+    return acc
+
+
 def mk_rlwe_extract_sample(acc) -> MKLweSample:
     """Constant-coefficient extraction per party mask
     (mk_rlwe_extract_sample{,_64}, mk_internals.jl:149-156,
@@ -333,7 +452,10 @@ def mk_bootstrap_wo_keyswitch(ck: CCSCloudKey, mu, x: MKLweSample) -> MKLweSampl
     testvect = jnp.full((N,), mu, dtype)
     body = poly.mul_by_monomial(jnp.broadcast_to(testvect, (B, N)), -barb)
     acc = jnp.concatenate([jnp.zeros((B, P, N), dtype), body[:, None]], axis=1)
-    acc = ccs_blind_rotate(acc, ck, bara)
+    if ck.d_sel is not None:
+        acc = ccs_blind_rotate_fb(acc, ck, bara)
+    else:
+        acc = ccs_blind_rotate(acc, ck, bara)
     u = mk_rlwe_extract_sample(acc)
     return MKLweSample(u.a.reshape(lead + u.a.shape[-2:]), u.b.reshape(lead))
 

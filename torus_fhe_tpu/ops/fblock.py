@@ -196,6 +196,58 @@ def build_fblocks(samples: np.ndarray, geom: FBlockGeometry,
     return fb
 
 
+def contract_rows_fblock(d8, fstep, geom: FBlockGeometry, dtype=jnp.int32):
+    """Contract int8 digit rows against ONE expanded F-block step.
+
+    d8: (B, R, N) int8 rows (row r = digit level x poly, the TGsw order);
+    fstep: (D*R*bs, ncols*bs) int8 in seq_perm order. Returns (B, C, N):
+    out[c] = sum_r rows_r (*) K_{r,c}, the negacyclic products realised as
+    block-circulant MXU matmuls with exact int32 accumulation.
+    """
+    B = d8.shape[0]
+    nb, D, bs, R, C = geom.nb, geom.D, geom.bs, geom.R, geom.C
+    ncols = len(geom.cols)
+    perm = jnp.asarray(seq_perm(D))  # seq[m] = block[(-m)%D] (involution)
+    # dexp gather plan: for output block j, contraction block delta pulls
+    # digit block i = (j - delta) mod D, valid only when i < nb.
+    ji = (np.arange(nb)[:, None] - np.arange(D)[None, :]) % D  # (j, delta)
+    valid = ji < nb
+    ji_safe = np.where(valid, ji, 0)
+
+    d8 = d8.reshape(B, R, nb, bs)
+    g = d8[:, :, ji_safe, :]  # (B, R, j, delta, bs)
+    g = jnp.where(valid[None, None, :, :, None], g, 0)
+    dexp = jnp.moveaxis(g, 2, 1).reshape(B * nb, R * D * bs)
+    fmat = fstep.reshape(D, R, bs, -1)[perm]  # back to delta order
+    fmat = jnp.moveaxis(fmat, 0, 1).reshape(R * D * bs, -1)
+    prod = jnp.dot(dexp, fmat, preferred_element_type=jnp.int32)
+    prod = prod.reshape(B, nb, ncols, bs)
+    comb = jnp.zeros((B, nb, C, bs), dtype)
+    for ci, (p, shift) in enumerate(geom.cols):
+        comb = comb.at[:, :, p].add(prod[:, :, ci].astype(dtype) << shift)
+    return jnp.moveaxis(comb, 1, 2).reshape(B, C, geom.N)
+
+
+def apply_fblock(t, fstep, geom: FBlockGeometry, decomp_length: int,
+                 log2_base: int, offset: int):
+    """delta[c] = sum_r g(t)_r (*) K_{r,c}: gadget-decompose a (B, C, N)
+    input jointly and contract against one expanded F-block step. Digits
+    wider than a byte split into int8 blocks whose outputs shift-combine
+    (poly.digits_to_i8_rows) — the same split as the conv backend."""
+    B, C, N = t.shape
+    digits = poly.decompose(t, decomp_length, log2_base, geom.bits, offset)
+    digits = jnp.swapaxes(digits, -3, -2)  # (B, l, C, N): rows r = (i, j)
+    blocks = poly.digits_to_i8_rows(digits.reshape(B, 1, geom.R, N), log2_base)
+    total = None
+    for m, blk in enumerate(blocks):
+        delta = contract_rows_fblock(blk.reshape(B, geom.R, N), fstep, geom,
+                                     t.dtype)
+        if m:
+            delta = delta << (8 * m)
+        total = delta if total is None else total + delta
+    return total
+
+
 def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
                         decomp_length: int, log2_base: int, offset: int):
     """XLA scan over the CMux chain using the F-block key.
@@ -207,36 +259,12 @@ def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
     version.
     """
     assert log2_base <= 8, "fblock path needs byte-sized gadget digits"
-    B, C, N = acc_a.shape
-    nb, D, bs, R = geom.nb, geom.D, geom.bs, geom.R
-    ncols = len(geom.cols)
-    dtype = acc_a.dtype
-    perm = jnp.asarray(seq_perm(D))  # seq[m] = block[(-m)%D] (involution)
-
-    # dexp gather plan: for output block j, contraction block delta pulls
-    # digit block i = (j - delta) mod D, valid only when i < nb.
-    ji = (np.arange(nb)[:, None] - np.arange(D)[None, :]) % D  # (j, delta)
-    valid = ji < nb
-    ji_safe = np.where(valid, ji, 0)
 
     def step(acc, xs):
         fstep, bara_s = xs  # (D*R*bs, ncols*bs), (B,)
         rot = poly.mul_by_monomial(acc, bara_s)
-        t = rot - acc
-        digits = poly.decompose(t, decomp_length, log2_base, geom.bits, offset)
-        digits = jnp.swapaxes(digits, -3, -2)  # (B, l, C, N): rows r = (i, j)
-        d8 = digits.reshape(B, R, nb, bs).astype(jnp.int8)
-        g = d8[:, :, ji_safe, :]  # (B, R, j, delta, bs)
-        g = jnp.where(valid[None, None, :, :, None], g, 0)
-        dexp = jnp.moveaxis(g, 2, 1).reshape(B * nb, R * D * bs)
-        fmat = fstep.reshape(D, R, bs, -1)[perm]  # back to delta order
-        fmat = jnp.moveaxis(fmat, 0, 1).reshape(R * D * bs, -1)
-        prod = jnp.dot(dexp, fmat, preferred_element_type=jnp.int32)
-        prod = prod.reshape(B, nb, ncols, bs)
-        comb = jnp.zeros((B, nb, C, bs), dtype)
-        for ci, (p, shift) in enumerate(geom.cols):
-            comb = comb.at[:, :, p].add(prod[:, :, ci].astype(dtype) << shift)
-        delta_t = jnp.moveaxis(comb, 1, 2).reshape(B, C, N)
+        delta_t = apply_fblock(rot - acc, fstep, geom, decomp_length,
+                               log2_base, offset)
         return acc + delta_t, None
 
     acc, _ = lax.scan(step, acc_a, (fb, jnp.swapaxes(jnp.asarray(bara), 0, 1)))

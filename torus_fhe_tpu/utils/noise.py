@@ -47,6 +47,11 @@ class NoiseReport:
     wrong_phase_lt_zero: int = 0
     boot_noises: np.ndarray | None = None  # raw per-trial bootstrapped noise
     fresh_noises: np.ndarray | None = None
+    # pre-keyswitch split (3gen MK): noise of the extracted sample BEFORE the
+    # per-party keyswitch, under the summed extracted ring key — separates
+    # blind-rotate accumulation from keyswitch contribution
+    pre_ks_noise_std: float | None = None
+    pre_ks_noise_max: float | None = None
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -238,6 +243,40 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
     dec = phase > 0
     wrong = np.nonzero(dec != want)[0]
 
+    pre_ks_std = pre_ks_max = None
+    if scheme == "3gen":
+        # keyswitch split: noise of the extracted sample BEFORE the per-party
+        # keyswitch, under the summed extracted ring key (the implicit key of
+        # the AKÖ accumulator: mk_keyswitch applies party p's table to the
+        # same mask, so u is keyed by sum_p extract(s_p))
+        from ..mk import gates3gen as _g3
+        from ..mk.boot3gen import mk_bootstrap_wo_keyswitch
+        from ..mk.samples import mk_lwe_noiseless_trivial
+        from ..rlwe import extract_lwe_key
+
+        temp_in = mk_lwe_noiseless_trivial(
+            encode_message(-1, 8), params.lwe, parties, msgs.shape
+        ) + ct + true_ct  # the AND combination measured above
+        u = mk_bootstrap_wo_keyswitch(ck, _g3._mu(ck), temp_in)
+        bits_u = 8 * u.b.dtype.itemsize
+        key_sum = sum(np.asarray(jax.device_get(
+            extract_lwe_key(s.rlwe).key), np.int64) for s in sks)
+        ua = np.asarray(jax.device_get(u.a), np.int64)
+        ub = np.asarray(jax.device_get(u.b), np.int64)
+        with np.errstate(over="ignore"):
+            phase_u = ub - ua @ key_sum  # int64 wraps (exact for bits=64)
+        if bits_u == 32:
+            phase_u = phase_u % (1 << 32)
+            phase_u = np.where(phase_u >= (1 << 31), phase_u - (1 << 32),
+                               phase_u)
+        dt_u = jnp.int32 if bits_u == 32 else jnp.int64
+        mu_u = jnp.where(jnp.asarray(want), encode_message(1, 8, dt_u),
+                         encode_message(-1, 8, dt_u))
+        pre = np.asarray(noise_calc(mu_u, phase_u.astype(
+            np.int32 if bits_u == 32 else np.int64)))
+        pre_ks_std = float(pre.std())
+        pre_ks_max = float(np.abs(pre).max())
+
     # rounded-phase taxonomy on the next gate's combination of BOOTSTRAPPED
     # inputs (measurements_us_simplified_3.jl:131-160): NAND(out, out) = !want
     from ..mk.samples import MKLweSample
@@ -256,4 +295,5 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
                        bk_bytes, ks_bytes, wall,
                        wrong_phase_gt_quarter=n_gt, wrong_phase_lt_zero=n_lt,
                        wrong_classes=classes[:16],
-                       boot_noises=boot, fresh_noises=fresh)
+                       boot_noises=boot, fresh_noises=fresh,
+                       pre_ks_noise_std=pre_ks_std, pre_ks_noise_max=pre_ks_max)

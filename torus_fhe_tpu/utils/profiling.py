@@ -91,14 +91,17 @@ def summarize_trace(logdir: str, top: int = 15) -> dict:
                 continue
             nm = ev.get("args", {}).get("name", "")
             if ev.get("name") == "process_name":
+                # TPU: per-device TensorCore planes; CPU backend: '/host:CPU'
                 if any(k in nm for k in ("TPU", "XLA Ops", "Device",
-                                         "/device:")):
+                                         "/device:", "/host:")):
                     dev_pids.add(ev.get("pid"))
             elif ev.get("name") == "thread_name":
                 # 'XLA Modules'/'Steps' lanes span the per-op events on the
                 # 'XLA Ops'/TensorCore lanes; counting them double-counts.
-                if any(k in nm for k in ("XLA Ops", "TensorCore", "Ops")) \
-                        and "Module" not in nm and "Step" not in nm:
+                # CPU backend: compute runs on the tf_XLAEigen worker pool.
+                if (any(k in nm for k in ("XLA Ops", "TensorCore", "Ops",
+                                          "XLAEigen"))
+                        and "Module" not in nm and "Step" not in nm):
                     op_tids.setdefault(ev.get("pid"), set()).add(ev.get("tid"))
         for ev in events:
             if ev.get("ph") == "X" and ev.get("pid") in dev_pids:

@@ -251,7 +251,7 @@ class _nullctx:
 
 
 _CCS_FIELDS = ("d_kern", "f0_kern", "f1_kern", "pk_kern", "sk_kern",
-               "ks_mats")
+               "ks_mats", "d_sel", "f0_sel", "f1_sel", "pk_fb", "sk_fb")
 _KMS_FIELDS = ("gsw_kern", "d_kern", "f0_kern", "f1_kern", "pk_kern",
                "sk_kern", "ks_mats")
 
@@ -271,8 +271,9 @@ def load_ccs_cloud_key(path: str):
 
     kind, arrs, params, extra = load_named(path)
     assert kind == "ccs_cloud_key", kind
-    return CCSCloudKey(*(jnp.asarray(arrs[f]) for f in _CCS_FIELDS),
-                       int(extra["parties"]), params)
+    vals = {f: (jnp.asarray(arrs[f]) if f in arrs else None)
+            for f in _CCS_FIELDS}
+    return CCSCloudKey(parties=int(extra["parties"]), params=params, **vals)
 
 
 def save_kms_cloud_key(path: str, ck) -> None:
