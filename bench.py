@@ -165,7 +165,9 @@ def main() -> None:
             "batch": B, "iters": iters, "wall_s": round(dt, 3),
             "compile_s": round(compile_s, 2), "keygen_s": round(keygen_s, 2),
             "p50_single_bootstrap_ms": round(p50_ms, 1),
-            "params": ("tfhe_128_tpu (n=630, N=1024, k=1, l=3 Bg=2^7, bk-1limb)"
+            "params": ("tfhe_128_tpu (n=630, N=1024, k=1, l=3 Bg=2^7, "
+                       "quantized BK: mask-2^11 lossless + body-2^8, "
+                       "6 limb-cols)"
                        if "--l3" in sys.argv else
                        "tfhe_128_tpu_fast (n=630, N=1024, k=1, l=2 Bg=2^8, "
                        "quantized BK: mask-2^16 + body-2^8, 5 limb-cols)"),

@@ -4,8 +4,9 @@ Reproduces the methodology of the reference's measurement suites
 (3-gen-mk-tfhe/measurements/test_suites/us_simplified/
 measurements_us_simplified_3.jl:66-117) and its committed artifacts
 (noise_results/mk-noises__parties-2_lambda-1001_pi-2_qw-2.dat — 1000 noise
-samples with |noise| <~ 0.027 against the 0.25 failure bound;
-log_1st_method_errors.log — wrong-decryption records).
+samples: std 0.0459, |max| 0.317, 4/1000 beyond the 0.25 failure bound —
+see docs/MANUAL.md "MK noise envelope"; log_1st_method_errors.log —
+wrong-decryption records).
 
 Writes .dat + .log artifacts into measurements/ at the repo root.
 

@@ -134,12 +134,15 @@ def main():
                 pc, [s.lwe for s in sks], gate)
         if "kms" in args.schemes:
             pk_ = params_for("kms")
+            kms_forms = ("conv",) if args.no_fblock else ("fb",)
             sks = [mkms.kms_party_keygen(jax.random.PRNGKey(30 + p), pk_)
                    for p in range(parties)]
-            ck = mkms.kms_cloud_keygen(jax.random.PRNGKey(29), sks, pk_)
+            ck = mkms.kms_cloud_keygen(jax.random.PRNGKey(29), sks, pk_,
+                                       forms=kms_forms)
             gate = functools.partial(
                 jax.jit(lambda _ck, x, y: mkms.mk_gate_nand(_ck, x, y)), ck)
-            setups["kms"] = (pk_, [s.lwe for s in sks], gate)
+            setups["kms-fb" if kms_forms == ("fb",) else "kms"] = (
+                pk_, [s.lwe for s in sks], gate)
 
         for name, (params, lwe_keys, gate) in setups.items():
             try:

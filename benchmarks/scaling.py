@@ -36,6 +36,7 @@ def run_mk_mid(jax):
     """4-party pipelined MK bootstrap at n=64/N=512 on a 4-slice party mesh:
     mid-size per-shard key volume (vs the n=6/N=64 unit tests), decrypt-
     checked, with per-shard key bytes and wall time reported."""
+    jax.config.update("jax_enable_x64", True)  # 64-bit MK keygen
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh

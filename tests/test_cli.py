@@ -50,3 +50,26 @@ def test_tlwetn_scenario(workdir, capsys):
     assert rc == 0, out
     # the small-bound end of the sweep must decrypt correctly
     assert "[OK]" in out.strip().splitlines()[-1]
+
+
+def test_knn_scenario(workdir, capsys, tmp_path):
+    """bin/KNN_medical_data via the CLI at tiny sizes (2-party multikey,
+    threshold tail included)."""
+    import numpy as np
+
+    csv = str(tmp_path / "cardio.csv")
+    with open(csv, "w") as f:
+        f.write("id,c0,c1,label\n")
+        rows = [(0, 1, 2, 1), (1, 6, 7, 0), (2, 7, 7, 1)]
+        for r in rows:
+            f.write(",".join(map(str, r)) + "\n")
+    rc = run_cli(["knn", csv, "--tiny", "--parties", "2", "--k", "1",
+                  "--width", "4", "--shift", "0", "--train-rows", "2",
+                  "--test-rows", "1"], workdir)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    import json
+
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["matches_oracle"], res
+    assert res["threshold_tail"], res

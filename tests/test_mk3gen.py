@@ -265,3 +265,55 @@ def test_streamed_gate_truth_table(keys_fb):
     out = gates3gen.mk_gate_nand(ck_s, cx, cy)
     dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
     np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))
+
+
+def test_wide_digit_fb64_exactness():
+    """The >=16-party gadget shape (l=1, Bg=2^26): hi-word rounding is
+    noise-unsafe there (the +-2^-33 BK rounding is amplified by the 2^25
+    digit magnitude — measured to flip decryptions), so the fast path is the
+    EXACT 64-bit streamed F-block scan with shift-combined int8 digit
+    blocks — bit-identical to the 64-bit conv scan over the SAME raw key."""
+    from torus_fhe_tpu.boot.bootstrap import (BootstrapKey,
+                                              blind_rotate_and_extract)
+    from torus_fhe_tpu.core.params import SchemeParams3Gen
+    from torus_fhe_tpu.mk import boot3gen
+    from torus_fhe_tpu.mk.keys3gen import mk_fb_supported
+    from torus_fhe_tpu.ops import poly
+
+    wp = SchemeParams3Gen(8, 2**-13.52, 64, 1, 64, 1, 26, 2**-62.0,
+                          4, 3, 2**-13.52, 2)
+    assert not mk_fb_supported(wp)  # wide digits: hi-word path excluded
+    sks = [mk.mk_party_keygen(jax.random.PRNGKey(70 + p), wp)
+           for p in range(2)]
+    ck = mk.mk_cloud_keygen(jax.random.PRNGKey(6), sks, wp,
+                            forms=("fbstream",), keep_samples=True)
+    assert ck.bk_fb_sel is not None
+
+    rng = np.random.default_rng(3)
+    B = 3
+    n_steps = 2 * wp.lwe_size
+    N = wp.rlwe_polynomial_degree
+    bara = jnp.asarray(rng.integers(0, 2 * N, (B, n_steps), dtype=np.int64),
+                       jnp.int32)
+    barb = jnp.asarray(rng.integers(0, 2 * N, (B,), dtype=np.int64), jnp.int32)
+    mu = jnp.asarray(1 << 61, jnp.int64)
+    u_fast = boot3gen._fast_rotate_extract(ck, mu, bara, barb, B)
+
+    raw = np.asarray(jax.device_get(ck.bk_samples))
+    kern = raw.reshape(n_steps, wp.gsw_decomp_length * 2, 2, N)
+    packed = poly.pack_kernels_host(kern, 64)
+    bk64 = BootstrapKey(jnp.asarray(packed))
+    tv = jnp.full((N,), mu, jnp.int64)
+    u_scan = blind_rotate_and_extract(tv, bk64, barb, bara, wp)
+    np.testing.assert_array_equal(np.asarray(u_fast.a), np.asarray(u_scan.a))
+    np.testing.assert_array_equal(np.asarray(u_fast.b), np.asarray(u_scan.b))
+
+    # and the gate decrypts end-to-end on the fast form
+    lwe_keys = [sk.lwe for sk in sks]
+    xs = jnp.array([False, True])
+    ys = jnp.array([True, True])
+    cx = mk.mk_encrypt(jax.random.PRNGKey(8), lwe_keys, xs, wp)
+    cy = mk.mk_encrypt(jax.random.PRNGKey(9), lwe_keys, ys, wp)
+    out = gates3gen.mk_gate_nand(ck, cx, cy)
+    dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
+    np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))

@@ -52,3 +52,33 @@ def test_kms_gate_nand_truth_table(kms_setup):
     out = jax.jit(lambda a, b: kms.mk_gate_nand(ck, a, b))(cx, cy)
     dec = np.asarray(mk_decrypt(lwe_keys, out))
     np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))
+
+
+@pytest.mark.parametrize("fast_boot", [False, True])
+def test_kms_fb_backend_bit_exact(kms_setup, fast_boot):
+    """The F-block fast backend for the per-party gsw rotates (streamed
+    chunk expansion, wide-digit split) is BIT-IDENTICAL to the conv scan —
+    both are exact integer arithmetic of the same product (VERDICT r3 #4)."""
+    params, sks, _ = kms_setup
+    parties = len(sks)
+    key = jax.random.PRNGKey(21)
+    ck2 = kms.kms_cloud_keygen(jax.random.fold_in(key, 99), sks, params,
+                               forms=("conv", "fb"))
+    assert ck2.gsw_sel is not None
+    lwe_keys = [s.lwe for s in sks]
+    xs = jnp.array([False, True, True])
+    ys = jnp.array([True, True, False])
+    cx = mk_encrypt(jax.random.PRNGKey(1), lwe_keys, xs, params)
+    cy = mk_encrypt(jax.random.PRNGKey(2), lwe_keys, ys, params)
+    mu64 = encode_message(1, 8, jnp.int64)  # the KMS torus is 64-bit
+    temp = kms.mk_lwe_noiseless_trivial(
+        encode_message(1, 8), params.lwe, parties, xs.shape) - cx - cy
+    out_fb = kms.mk_bootstrap(ck2, mu64, temp, fast_boot=fast_boot)
+    ck_conv = kms.KMSCloudKey(ck2.gsw_kern, ck2.d_kern, ck2.f0_kern,
+                              ck2.f1_kern, ck2.pk_kern, ck2.sk_kern,
+                              ck2.ks_mats, parties, params)
+    out_conv = kms.mk_bootstrap(ck_conv, mu64, temp, fast_boot=fast_boot)
+    np.testing.assert_array_equal(np.asarray(out_fb.a), np.asarray(out_conv.a))
+    np.testing.assert_array_equal(np.asarray(out_fb.b), np.asarray(out_conv.b))
+    dec = np.asarray(mk_decrypt(lwe_keys, out_fb))
+    np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))

@@ -1,1 +1,1 @@
-from . import knn, volume_matching
+from . import cnn, knn, mk_knn, volume_matching

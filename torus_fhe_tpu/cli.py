@@ -14,6 +14,9 @@ Mirrors the reference's user-facing programs over the npz serialization layer
 * ``tlwetn``  — the bin/tlwetn scenario (src/TLwe_TN.cpp:19-147): ring-LWE
   encrypt 32 bits, shareSecret2, per-party partial + final decrypt across the
   0.0625→1e-3 bound sweep.
+* ``knn``     — the bin/KNN_medical_data scenario
+  (src/KNN_medical_data.cpp:818-851): encrypted KNN over a cardio CSV,
+  single-key or k-party multikey, with the threshold-decryption tail.
 
 Usage: ``python -m torus_fhe_tpu <command> ...`` (see --help per command).
 """
@@ -185,6 +188,44 @@ def _tlwetn(args) -> int:
     return 0
 
 
+def _knn(args) -> int:
+    """bin/KNN_medical_data (src/KNN_medical_data.cpp:818-851): encrypted KNN
+    over a cardio-style CSV — single-key or k-party multikey — with the
+    (3,5)-threshold-decryption tail on each decision bit."""
+    import json
+
+    import jax
+
+    if args.parties > 1:
+        from .apps import mk_knn
+        from .core.params import PARAMETER_REGISTRY, test_parameters_3gen
+
+        jax.config.update("jax_enable_x64", True)
+        params = (test_parameters_3gen(parties=args.parties, n=16, N=64)
+                  if args.tiny else
+                  PARAMETER_REGISTRY[f"mk_{args.parties}party_3gen"]())
+        res = mk_knn.run_mk_pipeline(
+            jax.random.PRNGKey(args.seed), params, args.parties, args.csv,
+            k=args.k, width=args.width, train_rows=args.train_rows,
+            test_rows=args.test_rows, scale_shift=args.shift,
+            threshold_tail=not args.no_tail)
+    else:
+        from .apps import knn
+        from .boot import api
+        from .core.params import PARAMETER_REGISTRY, test_parameters
+
+        params = (test_parameters(n=16, N=64) if args.tiny
+                  else PARAMETER_REGISTRY[args.params]())
+        sk, ck = api.make_key_pair(jax.random.PRNGKey(args.seed), params)
+        res = knn.run_pipeline(
+            jax.random.PRNGKey(args.seed + 1), sk, ck, args.csv, k=args.k,
+            width=args.width, train_rows=args.train_rows,
+            test_rows=args.test_rows, scale_shift=args.shift,
+            with_threshold_tail=not args.no_tail)
+    print(json.dumps(res))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="torus_fhe_tpu",
                                  description=__doc__.split("\n")[0])
@@ -238,6 +279,24 @@ def main(argv=None) -> int:
     c.add_argument("--bits", type=int, default=32)
     c.add_argument("--seed", type=int, default=10)
     c.set_defaults(fn=_convert)
+
+    kn = sub.add_parser("knn", help="bin/KNN_medical_data scenario "
+                                    "(single-key or k-party multikey)")
+    kn.add_argument("csv", help="cardio-style CSV (id, features..., label)")
+    kn.add_argument("--parties", type=int, default=1,
+                    help=">1 runs the multikey pipeline (apps/mk_knn)")
+    kn.add_argument("--k", type=int, default=5)
+    kn.add_argument("--width", type=int, default=16)
+    kn.add_argument("--shift", type=int, default=4)
+    kn.add_argument("--train-rows", type=int, default=5)
+    kn.add_argument("--test-rows", type=int, default=1)
+    kn.add_argument("--params", default="tfhe_128_tpu_fast")
+    kn.add_argument("--tiny", action="store_true",
+                    help="tiny insecure parameters (smoke)")
+    kn.add_argument("--no-tail", action="store_true",
+                    help="skip the (3,5)-threshold-decryption tail")
+    kn.add_argument("--seed", type=int, default=30)
+    kn.set_defaults(fn=_knn)
 
     tn = sub.add_parser("tlwetn", help="bin/tlwetn scenario")
     tn.add_argument("t", type=int)

@@ -162,15 +162,26 @@ def tfhe_parameters_128(rlwe_mask_size: int = 1) -> SchemeParams:
 
 def tfhe_parameters_128_tpu() -> SchemeParams:
     """The 128-bit CGGI set tuned for TPU throughput: identical crypto
-    parameters to tfhe_parameters_128 but with the bootstrapping key's lowest
-    byte truncated (25% less MXU work; added noise stddev ~2^-17 per external
-    product, an order of magnitude under the decomposition noise floor)."""
+    parameters to tfhe_parameters_128 — the reference's own l=3/Bg=2^7 gadget
+    (api.jl:100-115) — with the bootstrapping key's lowest body byte
+    truncated (added noise stddev ~2^-17 per external product, an order of
+    magnitude under the decomposition noise floor) and the mask quantized to
+    2^11 multiples at keygen, which makes the dropped mask byte exactly zero
+    (LOSSLESS; security strictly improves). 2^11 is the LARGEST lossless
+    mask quantum here: gadget bumps m*g_i land on mask polys of the
+    mask-decomposition rows, so the quantum must divide the smallest gadget
+    value 2^(32-l*Bg) = 2^11 (tgsw.tgsw_encrypt) — unlike the l=2/Bg=2^8
+    fast set, a 2-byte mask cut is unreachable, and the set keeps
+    R*cols = 6*6 MAC units per CMux step vs the fast set's 4*5. That 1.8x
+    is the reference gadget's intrinsic cost on an MXU-bound kernel; see
+    the roofline note in docs/MANUAL.md."""
     return SchemeParams(
         630, 1 / 2**15,
         1024, 1, 32,
         3, 7, 1 / 2**25,
         8, 2, 1 / 2**15,
         bk_drop_limbs=1,
+        bk_mask_quantum_bits=11,
     )
 
 

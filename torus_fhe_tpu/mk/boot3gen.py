@@ -87,13 +87,33 @@ def _mk_bootstrap_wo_keyswitch_impl(ck: MKCloudKey, mu, x: MKLweSample) -> LweSa
 
 
 def _fast_rotate_extract(ck: MKCloudKey, mu, bara, barb, B: int) -> LweSample:
-    """32-bit hi-word blind rotate over the rounded F-block key + extract."""
+    """Fast blind rotate over the F-block key + extract: the 32-bit hi-word
+    path (rounded key; Pallas kernel or XLA scan) for byte-digit sets, or
+    the exact 64-bit streamed path for wide-digit sets (Bg > 2^8, where
+    hi-word rounding noise is amplified by the digit magnitude)."""
     from ..core.params import TGswParams
     from ..ops import fblock
     from ..rlwe import RLweSample, rlwe_extract_sample
-    from .keys3gen import mk_fb_geometry
+    from .keys3gen import mk_fb64_geometry, mk_fb_geometry, mk_fb_supported
 
     params = ck.params
+    if ck.bk_fb_sel is not None and not mk_fb_supported(params):
+        # exact 64-bit streamed rotate (wide-digit sets; no rounding at all)
+        assert jax.config.jax_enable_x64, \
+            "the wide-digit 64-bit streamed path needs jax_enable_x64"
+        from ..ops import poly
+
+        geom64 = mk_fb64_geometry(params, ck.parties)
+        tg64 = TGswParams(params.gsw_decomp_length, params.gsw_log2_base, 64)
+        tv = jnp.broadcast_to(jnp.asarray(mu, jnp.int64), (B, geom64.N))
+        tv = poly.mul_by_monomial(tv, -barb)
+        acc0 = jnp.zeros((B, geom64.C, geom64.N), jnp.int64).at[
+            :, geom64.C - 1].set(tv)
+        acc = fblock.blind_rotate_streamed(
+            acc0, ck.bk_fb_sel, bara, geom64, tg64.decomp_length,
+            tg64.log2_base, tg64.offset, use_pallas=False)
+        return rlwe_extract_sample(RLweSample(acc))
+
     geom = mk_fb_geometry(params, ck.parties)
     tg32 = TGswParams(params.gsw_decomp_length, params.gsw_log2_base, 32)
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -124,7 +144,12 @@ def _fast_rotate_extract(ck: MKCloudKey, mu, bara, barb, B: int) -> LweSample:
         return jnp.zeros((B, geom.C, geom.N), jnp.int32).at[
             :, geom.C - 1].set(tv)
 
-    if on_tpu and mu_static is not None:
+    # the Pallas kernel's in-kernel digit rows are byte-sized; Bg > 2^8 sets
+    # (16-party and up, Bg=2^26) take the XLA F-block scan with wide digits
+    # split into shift-combined int8 blocks
+    use_pallas_path = (on_tpu and mu_static is not None
+                       and params.gsw_log2_base <= 8)
+    if use_pallas_path:
         # the hi-word rotate is int32-pure; under jax_enable_x64 the Pallas
         # lowering emits i64 index types that crash the TPU compile helper,
         # so trace this call in x64-off mode (bit-identical semantics)

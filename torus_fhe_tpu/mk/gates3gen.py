@@ -37,8 +37,12 @@ def _mu(ck) -> int:
     if not jax.config.jax_enable_x64:
         # no real int64 available: deliver the hi word directly — valid for
         # the hi-word F-block fast path, the only 64-bit backend without x64
-        assert ck.bk_fb is not None or ck.bk_fb_sel is not None, \
-            "64-bit MK scan backend needs jax_enable_x64"
+        from .keys3gen import mk_fb_supported
+
+        assert ((ck.bk_fb is not None or ck.bk_fb_sel is not None)
+                and mk_fb_supported(ck.params)), \
+            "64-bit MK backends other than the hi-word fast path need " \
+            "jax_enable_x64"
         return 1 << 29
     return 1 << 61  # encode_message(1, 8) on the 64-bit torus
 

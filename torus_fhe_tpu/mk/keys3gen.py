@@ -162,21 +162,41 @@ register_dataclass(MKCloudKey,
 
 def mk_fb_supported(params: SchemeParams3Gen) -> bool:
     """The hi-word F-block trick needs every gadget value to be a multiple of
-    2^32 (l*log2B <= 31, so Torus32 rounding commutes with the gadget) and
-    byte-sized digits (log2B <= 8, the Pallas kernel's row format). Holds for
-    the shipped 2/3/4/8-party 3gen sets; the Bg=2^26 large-party sets use the
-    conv scan."""
+    2^32 (l*log2B <= 31, so Torus32 rounding commutes with the gadget) AND
+    small digits (log2B <= 8): the +-2^-33 rounding of each BK entry is
+    amplified by digit magnitude B/2 in every product, so Bg=2^26 sets would
+    take ~2^17x the rounding noise and flip decryptions (measured — the
+    wide-digit sets use the exact 64-bit streamed form instead, see
+    mk_cloud_keygen)."""
     l, B = params.gsw_decomp_length, params.gsw_log2_base
     return params.rlwe_bits == 64 and l * B <= 31 and B <= 8
 
 
+def mk_fb_stream_supported(params: SchemeParams3Gen) -> bool:
+    """The streamed compact F-block form covers EVERY 3gen set: hi-word
+    32-bit lines when mk_fb_supported, else exact 64-bit lines (no rounding,
+    wide digits split into shift-combined int8 blocks; XLA scan, not the
+    Pallas kernel)."""
+    return params.rlwe_bits == 64
+
+
 def mk_fb_geometry(params: SchemeParams3Gen, parties: int):
-    """32-bit F-block geometry over the parties*n CMux steps."""
+    """32-bit (hi-word) F-block geometry over the parties*n CMux steps."""
     from ..ops import fblock
 
     return fblock.fblock_geometry(
         parties * params.lwe_size, params.rlwe_polynomial_degree,
         params.rlwe_mask_size, params.gsw_decomp_length, 32, 0)
+
+
+def mk_fb64_geometry(params: SchemeParams3Gen, parties: int):
+    """Exact 64-bit F-block geometry (16 limb columns) — the streamed form
+    for wide-digit (Bg > 2^8) sets where hi-word rounding is noise-unsafe."""
+    from ..ops import fblock
+
+    return fblock.fblock_geometry(
+        parties * params.lwe_size, params.rlwe_polynomial_degree,
+        params.rlwe_mask_size, params.gsw_decomp_length, 64, 0)
 
 
 def hi_round_samples(samples: np.ndarray) -> np.ndarray:
@@ -235,9 +255,11 @@ def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
         # hi-word fast path.
         assert jax.config.jax_enable_x64, \
             "64-bit MK keygen requires jax_enable_x64=True"
-    if "fblock" in forms or "fbstream" in forms:
+    if "fblock" in forms:
         assert mk_fb_supported(params), \
-            "fblock form needs l*log2B <= 31 and log2B <= 8 (use conv)"
+            "fblock form needs l*log2B <= 31 and log2B <= 8 (use fbstream)"
+    if "fbstream" in forms:
+        assert mk_fb_stream_supported(params)
     with on_host():
         kc, kb, kk = jax.random.split(key, 3)
         crp = gen_crp(kc, params)
@@ -273,14 +295,19 @@ def mk_cloud_keygen(key, secret_keys: Sequence[MKSecretKey],
     samples_cat = np.concatenate(all_samples, axis=0)  # (parties*n, l, 2, 2, N)
     fb = fb_sel = None
     if "fblock" in forms or "fbstream" in forms:
-        geom = mk_fb_geometry(params, parties)
         ctx = jax.default_device(device) if device is not None else _nullctx()
         with ctx:
-            hi = hi_round_samples(samples_cat)
             if "fblock" in forms:
-                fb = fblock.build_fblocks(hi, geom)
+                fb = fblock.build_fblocks(hi_round_samples(samples_cat),
+                                          mk_fb_geometry(params, parties))
             if "fbstream" in forms:
-                fb_sel = jnp.asarray(fblock.build_sel(hi, geom))
+                if mk_fb_supported(params):  # hi-word 32-bit lines
+                    fb_sel = jnp.asarray(fblock.build_sel(
+                        hi_round_samples(samples_cat),
+                        mk_fb_geometry(params, parties)))
+                else:  # exact 64-bit lines (wide-digit sets)
+                    fb_sel = jnp.asarray(fblock.build_sel(
+                        samples_cat, mk_fb64_geometry(params, parties)))
     ck = MKCloudKey(jnp.asarray(bk) if bk is not None else None,
                     jnp.asarray(ks_mat), parties, params, fb,
                     jnp.asarray(samples_cat) if keep_samples else None,

@@ -93,7 +93,16 @@ def uni_encrypt_poly(key, message_poly: np.ndarray, alpha: float,
 
 @dataclass
 class KMSCloudKey:
-    """Assembled KMS cloud key (MKCloudKey_new, mk_api.jl:436-456)."""
+    """Assembled KMS cloud key (MKCloudKey_new, mk_api.jl:436-456).
+
+    ``gsw_sel`` is the F-block fast backend for the hot per-party TLev/single
+    rotates (VERDICT r3 item 4): the per-step 64-bit TGSW kernels as compact
+    limb lines, expanded per step chunk at rotate time and contracted as
+    block-circulant int8 MXU matmuls with shift-combined wide digits
+    (Bg up to 2^13) — bit-identical to the conv scan. The runtime-TLev
+    relinearisation (tlev_extern_mul) cannot pre-pack and stays on the
+    batched-kernel path; it runs once per party per bootstrap, not per
+    CMux step."""
 
     gsw_kern: jax.Array  # (P*n, 2*limbs, l_gsw*2, N) int8 — TGSW(LWE bits) under z_p
     d_kern: jax.Array    # (P, L, l_uni, N) int8 — uni-enc d1 of z_p
@@ -104,18 +113,32 @@ class KMSCloudKey:
     ks_mats: jax.Array   # (P, K, (n+1)*4) int8
     parties: int = 1
     params: SchemeParamsKMS = None
+    gsw_sel: jax.Array = None  # (P*n, 2*l_gsw, 2N, 16) int8 compact F-block
 
 
 register_dataclass(KMSCloudKey,
                    data_fields=("gsw_kern", "d_kern", "f0_kern", "f1_kern",
-                                "pk_kern", "sk_kern", "ks_mats"),
+                                "pk_kern", "sk_kern", "ks_mats", "gsw_sel"),
                    meta_fields=("parties", "params"))
 
 
+def kms_fb_geometry(params: SchemeParamsKMS, n_steps: int):
+    """64-bit F-block geometry of one TGSW CMux contraction over n_steps."""
+    from ..ops import fblock
+
+    return fblock.fblock_geometry(
+        n_steps, params.rlwe_polynomial_degree, params.rlwe_mask_size,
+        params.gsw_decomp_length, params.rlwe_bits, 0)
+
+
 def kms_cloud_keygen(key, secret_keys: Sequence[KMSSecretKey],
-                     params: SchemeParamsKMS, device=None) -> KMSCloudKey:
+                     params: SchemeParamsKMS, device=None,
+                     forms=("conv",)) -> KMSCloudKey:
     """Full KMS cloud-key pipeline (SharedKey_new → per-party CloudKeyPart_new
-    → MKCloudKey_new; mk_api.jl:341-346, 411-456)."""
+    → MKCloudKey_new; mk_api.jl:341-346, 411-456).
+
+    ``forms``: "conv" packs the scan-backend gsw kernels; "fb" builds the
+    compact F-block lines for the streamed fast rotate (both may be given)."""
     parties = len(secret_keys)
     assert parties <= params.max_parties
     bits = params.rlwe_bits
@@ -131,7 +154,7 @@ def kms_cloud_keygen(key, secret_keys: Sequence[KMSSecretKey],
         shared_a = np.asarray(jax.device_get(
             trng.uniform_torus(ks_key, (uni.decomp_length, N), dtype)))
 
-        gsw_k, d_k, f0_k, f1_k, pubs, mats = [], [], [], [], [], []
+        gsw_k, gsw_s, d_k, f0_k, f1_k, pubs, mats = [], [], [], [], [], [], []
         for p, sk in enumerate(secret_keys):
             # throwaway key z_p (rand_key, new_mk_internals.jl:20)
             z = rlwe_keygen(jax.random.fold_in(kz, p), params.rlwe, negative=False)
@@ -139,8 +162,15 @@ def kms_cloud_keygen(key, secret_keys: Sequence[KMSSecretKey],
             gsw = tgsw_encrypt(jax.random.fold_in(kg, p),
                                np.asarray(jax.device_get(sk.lwe.key), np.int64),
                                params.gsw_noise_stddev, z, params.tgsw, params.rlwe)
-            gsw_k.append(np.asarray(jax.device_get(
-                pack_tgsw(gsw, params.tgsw).kernels)))
+            if "conv" in forms:
+                gsw_k.append(np.asarray(jax.device_get(
+                    pack_tgsw(gsw, params.tgsw).kernels)))
+            if "fb" in forms:
+                from ..ops import fblock
+
+                geom = kms_fb_geometry(params, params.lwe_size)
+                gsw_s.append(fblock.build_sel(
+                    np.asarray(jax.device_get(gsw.samples)), geom))
             # party public key under shared_a, uni params + noise
             pub = hostmath.negacyclic_polymul_host(
                 np.asarray(jax.device_get(sk.rlwe.key[0])), shared_a, bits)
@@ -164,11 +194,12 @@ def kms_cloud_keygen(key, secret_keys: Sequence[KMSSecretKey],
         pk_kern = _pack_l_to_1(np.stack(pubs), bits)
         sk_kern = _pack_l_to_1(shared_a, bits)
 
-    ck = KMSCloudKey(jnp.asarray(np.concatenate(gsw_k)),
+    ck = KMSCloudKey(jnp.asarray(np.concatenate(gsw_k)) if gsw_k else None,
                      jnp.asarray(np.stack(d_k)), jnp.asarray(np.stack(f0_k)),
                      jnp.asarray(np.stack(f1_k)), jnp.asarray(pk_kern),
                      jnp.asarray(sk_kern), jnp.asarray(np.stack(mats)),
-                     parties, params)
+                     parties, params,
+                     jnp.asarray(np.concatenate(gsw_s)) if gsw_s else None)
     if jax.devices()[0].platform != "cpu":
         ck = to_device(ck, device)
     return ck
@@ -231,6 +262,22 @@ def _lev_blind_rotate(ck: KMSCloudKey, party: int, bara_p, B: int):
     llev = params.tlev.decomp_length
     N = params.rlwe_polynomial_degree
     lev = tlev_trivial_one(B, params)  # (B, l_lev, 2, N)
+
+    if ck.gsw_sel is not None:
+        # F-block fast backend: streamed chunk expansion + circulant matmuls,
+        # the TLev rows folded into the batch axis
+        from ..ops import fblock
+
+        geom = kms_fb_geometry(params, n)
+        gp = params.tgsw
+        acc = fblock.blind_rotate_streamed(
+            lev.reshape(B * llev, 2, N), ck.gsw_sel[party * n:(party + 1) * n],
+            jnp.broadcast_to(bara_p[:, None], (B, llev, n)).reshape(
+                B * llev, n),
+            geom, gp.decomp_length, gp.log2_base, gp.offset,
+            chunk=8, use_pallas=False)
+        return acc.reshape(B, llev, 2, N)
+
     kernels = ck.gsw_kern[party * n:(party + 1) * n]
     bara_steps = jnp.swapaxes(bara_p, 0, 1)  # (n, B)
 
@@ -302,17 +349,26 @@ def kms_blind_rotate(acc, ck: KMSCloudKey, bara, fast_boot: bool = True):
         tv = acc[:, P]  # body carries the rotated test vector
         sacc = jnp.concatenate(
             [jnp.zeros((B, 1, N), acc.dtype), tv[:, None]], axis=1)
-        kernels = ck.gsw_kern[:n]
-        bara_steps = jnp.swapaxes(bara[:, 0], 0, 1)
+        if ck.gsw_sel is not None:
+            from ..ops import fblock
 
-        def step(a, xs):
-            kern_i, bara_i = xs
-            rot = poly.mul_by_monomial(a, bara_i)
-            gsw = PackedTGsw(kern_i, params.rlwe_bits, 1, 0)
-            delta = tgsw_extern_mul(RLweSample(rot - a), gsw, params.tgsw)
-            return a + delta.a, None
+            geom = kms_fb_geometry(params, n)
+            gp = params.tgsw
+            sacc = fblock.blind_rotate_streamed(
+                sacc, ck.gsw_sel[:n], bara[:, 0], geom, gp.decomp_length,
+                gp.log2_base, gp.offset, chunk=8, use_pallas=False)
+        else:
+            kernels = ck.gsw_kern[:n]
+            bara_steps = jnp.swapaxes(bara[:, 0], 0, 1)
 
-        sacc, _ = jax.lax.scan(step, sacc, (kernels, bara_steps))
+            def step(a, xs):
+                kern_i, bara_i = xs
+                rot = poly.mul_by_monomial(a, bara_i)
+                gsw = PackedTGsw(kern_i, params.rlwe_bits, 1, 0)
+                delta = tgsw_extern_mul(RLweSample(rot - a), gsw, params.tgsw)
+                return a + delta.a, None
+
+            sacc, _ = jax.lax.scan(step, sacc, (kernels, bara_steps))
         # e = trivial(mask of sacc), f = trivial(body) (:259-263)
         zeros = jnp.zeros((B, P, N), acc.dtype)
         e = jnp.concatenate([zeros, sacc[:, 0][:, None]], axis=1)

@@ -258,7 +258,8 @@ def blind_rotate_fblock(acc_a, fb, bara, geom: FBlockGeometry,
     directly); the Pallas kernel in ops/pallas_rotate.py is the fused TPU
     version.
     """
-    assert log2_base <= 8, "fblock path needs byte-sized gadget digits"
+    # digits wider than a byte split into shift-combined int8 blocks inside
+    # apply_fblock — no base restriction
 
     def step(acc, xs):
         fstep, bara_s = xs  # (D*R*bs, ncols*bs), (B,)

@@ -183,11 +183,20 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
 
         if fast_form is None:
             fast_form = mk_fb_supported(params)
+        if fast_form:
+            # pick the expanded or streamed fast form by size (the shipped
+            # >=4-party configuration is the streamed compact key)
+            from ..mk.keys3gen import mk_fb_geometry
+
+            g = mk_fb_geometry(params, parties)
+            fb_bytes = g.n * g.D * g.R * g.bs * len(g.cols) * g.bs
+            forms = ("fblock",) if fb_bytes <= 10 * 2**30 else ("fbstream",)
+        else:
+            forms = ("conv",)
         sks = [mk.mk_party_keygen(jax.random.fold_in(key, 100 + p), params)
                for p in range(parties)]
         ck = mk.mk_cloud_keygen(
-            jax.random.fold_in(key, 7), sks, params,
-            forms=("fblock",) if fast_form else ("conv",))
+            jax.random.fold_in(key, 7), sks, params, forms=forms)
         lwe_keys = [sk.lwe for sk in sks]
         gate = lambda a, b: gates3gen.mk_gate_and(ck, a, b)
         bk_bytes = next(a for a in (ck.bk_kernels, ck.bk_fb, ck.bk_fb_sel)

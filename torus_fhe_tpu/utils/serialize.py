@@ -229,15 +229,22 @@ def load_mk_cloud_key(path: str, forms=None, fblock_device=None):
                                samples.shape[-1])
         kernels = jnp.asarray(poly.pack_kernels_host(kern, params.rlwe_bits))
     if "fblock" in forms or "fbstream" in forms:
-        geom = mk_fb_geometry(params, parties)
+        from ..mk.keys3gen import mk_fb64_geometry, mk_fb_supported
+
         ctx = jax.default_device(fblock_device) if fblock_device is not None \
             else _nullctx()
         with ctx:
-            hi = hi_round_samples(samples)
             if "fblock" in forms:
-                fb = fblock.build_fblocks(hi, geom)
+                fb = fblock.build_fblocks(hi_round_samples(samples),
+                                          mk_fb_geometry(params, parties))
             if "fbstream" in forms:
-                fb_sel = jnp.asarray(fblock.build_sel(hi, geom))
+                if mk_fb_supported(params):
+                    fb_sel = jnp.asarray(fblock.build_sel(
+                        hi_round_samples(samples),
+                        mk_fb_geometry(params, parties)))
+                else:  # wide-digit sets: exact 64-bit lines
+                    fb_sel = jnp.asarray(fblock.build_sel(
+                        samples, mk_fb64_geometry(params, parties)))
     return MKCloudKey(kernels, ks, parties, params, fb, jnp.asarray(samples),
                       fb_sel)
 
@@ -253,7 +260,7 @@ class _nullctx:
 _CCS_FIELDS = ("d_kern", "f0_kern", "f1_kern", "pk_kern", "sk_kern",
                "ks_mats", "d_sel", "f0_sel", "f1_sel", "pk_fb", "sk_fb")
 _KMS_FIELDS = ("gsw_kern", "d_kern", "f0_kern", "f1_kern", "pk_kern",
-               "sk_kern", "ks_mats")
+               "sk_kern", "ks_mats", "gsw_sel")
 
 
 def save_ccs_cloud_key(path: str, ck) -> None:
@@ -290,8 +297,9 @@ def load_kms_cloud_key(path: str):
 
     kind, arrs, params, extra = load_named(path)
     assert kind == "kms_cloud_key", kind
-    return KMSCloudKey(*(jnp.asarray(arrs[f]) for f in _KMS_FIELDS),
-                       int(extra["parties"]), params)
+    vals = {f: (jnp.asarray(arrs[f]) if f in arrs else None)
+            for f in _KMS_FIELDS}
+    return KMSCloudKey(parties=int(extra["parties"]), params=params, **vals)
 
 
 def save_share_set(path: str, repo) -> None:
