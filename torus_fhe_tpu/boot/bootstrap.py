@@ -11,6 +11,7 @@ the zero-step contributes an exactly-zero update — branch-free, same result.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -237,7 +238,26 @@ def bootstrap_wo_keyswitch(bk: BootstrapKey, mu, x: LweSample, params: SchemePar
 
 
 def bootstrap(bk: BootstrapKey, ks, mu, x: LweSample, params: SchemeParams) -> LweSample:
-    """Full gate bootstrap: rotate-extract then keyswitch (bootstrap.jl:95-101)."""
+    """Full gate bootstrap: rotate-extract then keyswitch (bootstrap.jl:95-101).
+
+    Eager calls with a static mu route through a jit-cached program (the
+    mk/boot3gen pattern): application circuits (apps/knn, circuits/words)
+    call gates eagerly, and op-by-op dispatch is ruinous through the TPU
+    tunnel; inside an enclosing jit the impl inlines unchanged."""
+    if (isinstance(mu, int) and not isinstance(x.b, jax.core.Tracer)
+            and not isinstance(x.a, jax.core.Tracer)):
+        return _jitted_bootstrap(mu)(bk, ks, x, params)
+    return _bootstrap_impl(bk, ks, mu, x, params)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_bootstrap(mu_int: int):
+    return jax.jit(
+        lambda bk, ks, x, params: _bootstrap_impl(bk, ks, mu_int, x, params),
+        static_argnums=(3,))
+
+
+def _bootstrap_impl(bk, ks, mu, x, params):
     from .keyswitch import keyswitch
 
     u = bootstrap_wo_keyswitch(bk, mu, x, params)
