@@ -29,6 +29,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def size_tag(args) -> str:
+    return "real" if args.real else f"n{args.n}N{args.N}"
+
+
+def _key_cached(args, name: str, build, save, load):
+    """Generic key cache: production host keygens take tens of minutes."""
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "keys")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"{name}_{size_tag(args)}.npz")
+    if os.path.exists(path):
+        try:
+            ck = load(path)
+            print(f"# {name}: loaded cached key", file=sys.stderr, flush=True)
+            return ck
+        except Exception as e:
+            print(f"# {name} key cache miss: {str(e)[:100]}", file=sys.stderr)
+    ck = build()
+    try:
+        save(path, ck)
+    except Exception as e:
+        print(f"# {name} key cache save failed: {str(e)[:100]}",
+              file=sys.stderr)
+    return ck
+
+
 def bench_gate(gate_fn, cx, cy, trials):
     walls = []
     out = jax.block_until_ready(gate_fn(cx, cy))  # compile
@@ -111,8 +137,18 @@ def main():
                           f"using the streamed compact form", file=sys.stderr)
             sks = [mk.mk_party_keygen(jax.random.PRNGKey(10 + p), p3)
                    for p in range(parties)]
-            ck = mk.mk_cloud_keygen(jax.random.PRNGKey(9), sks, p3,
-                                    forms=forms)
+            # key cache: host keygen at production sizes takes tens of
+            # minutes; the compact samples round-trip through serialize and
+            # rebuild the requested fast form on load
+            from torus_fhe_tpu.utils import serialize as _ser
+
+            ck = _key_cached(
+                args, f"perf_3gen_p{parties}",
+                lambda: mk.mk_cloud_keygen(jax.random.PRNGKey(9), sks, p3,
+                                           forms=forms, keep_samples=True),
+                _ser.save_mk_cloud_key,
+                lambda path: _ser.load_mk_cloud_key(path, forms=forms))
+            assert ck.params == p3
             # pass ck as a traced ARG: a closure capture would bake the (multi-GB)
             # F-block key into the program as a constant and hang compilation
             gate = functools.partial(
@@ -124,10 +160,16 @@ def main():
         if "ccs" in args.schemes:
             pc = params_for("ccs")
             ccs_forms = ("conv",) if args.no_fblock else ("fb",)
+            from torus_fhe_tpu.utils import serialize as _ser
+
             sks = [mccs.ccs_party_keygen(jax.random.PRNGKey(20 + p), pc)
                    for p in range(parties)]
-            ck = mccs.ccs_cloud_keygen(jax.random.PRNGKey(19), sks, pc,
-                                       forms=ccs_forms)
+            ck = _key_cached(
+                args, f"perf_ccs{'fb' if ccs_forms == ('fb',) else ''}"
+                      f"_p{parties}",
+                lambda: mccs.ccs_cloud_keygen(jax.random.PRNGKey(19), sks, pc,
+                                              forms=ccs_forms),
+                _ser.save_ccs_cloud_key, _ser.load_ccs_cloud_key)
             gate = functools.partial(
                 jax.jit(lambda _ck, x, y: mccs.mk_gate_nand(_ck, x, y)), ck)
             setups["ccs-fb" if ccs_forms == ("fb",) else "ccs"] = (
@@ -135,10 +177,16 @@ def main():
         if "kms" in args.schemes:
             pk_ = params_for("kms")
             kms_forms = ("conv",) if args.no_fblock else ("fb",)
+            from torus_fhe_tpu.utils import serialize as _ser
+
             sks = [mkms.kms_party_keygen(jax.random.PRNGKey(30 + p), pk_)
                    for p in range(parties)]
-            ck = mkms.kms_cloud_keygen(jax.random.PRNGKey(29), sks, pk_,
-                                       forms=kms_forms)
+            ck = _key_cached(
+                args, f"perf_kms{'fb' if kms_forms == ('fb',) else ''}"
+                      f"_p{parties}",
+                lambda: mkms.kms_cloud_keygen(jax.random.PRNGKey(29), sks, pk_,
+                                              forms=kms_forms),
+                _ser.save_kms_cloud_key, _ser.load_kms_cloud_key)
             gate = functools.partial(
                 jax.jit(lambda _ck, x, y: mkms.mk_gate_nand(_ck, x, y)), ck)
             setups["kms-fb" if kms_forms == ("fb",) else "kms"] = (
