@@ -138,15 +138,18 @@ def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
     wrong = np.nonzero(dec != want)[0]
 
     # reference-faithful rounded-phase taxonomy: form the next gate's affine
-    # combination from the BOOTSTRAPPED output (the reference combines two
-    # bootstrapped ciphertexts, measurements_us_simplified_3.jl:131-143),
-    # mod-switch round it to 2N, and classify its phase over ALL trials.
-    # NAND(out, out) = !want, expected-positive frame maps on that.
+    # combination from TWO bootstrapped ciphertexts (the reference combines
+    # two bootstrapped operands, measurements_us_simplified_3.jl:131-143) —
+    # NAND(out, out_true) = !want keeps the ideal phase at +-1/8 for both
+    # operand values (a same-operand combination would sit at 3/8 half the
+    # time, a structural out-of-band count, not noise) — mod-switch round it
+    # to 2N, and classify its phase over ALL trials.
     from ..lwe import LweSample
 
+    out_true = gates.gate_and(ck, true_ct, true_ct)  # bootstrapped True
     N = params.rlwe_polynomial_degree
-    temp = LweSample(-(out.a + out.a),
-                     encode_message(1, 8) - (out.b + out.b))
+    temp = LweSample(-(out.a + out_true.a),
+                     encode_message(1, 8) - (out.b + out_true.b))
     ra, rb = _round_mod_switch(temp.a, temp.b, N)
     phase_r = np.asarray(lwe_phase(LweSample(ra, rb), sk.key))
     phase_pos = np.where(~want, 1.0, -1.0) * (
@@ -286,13 +289,17 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
         pre_ks_std = float(pre.std())
         pre_ks_max = float(np.abs(pre).max())
 
-    # rounded-phase taxonomy on the next gate's combination of BOOTSTRAPPED
-    # inputs (measurements_us_simplified_3.jl:131-160): NAND(out, out) = !want
+    # rounded-phase taxonomy on the next gate's combination of TWO
+    # bootstrapped inputs (measurements_us_simplified_3.jl:131-160):
+    # NAND(out, out_true) = !want, ideal phase +-1/8 for both operand values
     from ..mk.samples import MKLweSample
 
+    out_true = gate(true_ct, true_ct)
+    if scheme != "3gen":  # NAND(1,1) = 0: re-encode as a bootstrapped True
+        out_true = -out_true
     N = params.rlwe_polynomial_degree
-    temp = MKLweSample(-(out.a + out.a),
-                       encode_message(1, 8) - (out.b + out.b))
+    temp = MKLweSample(-(out.a + out_true.a),
+                       encode_message(1, 8) - (out.b + out_true.b))
     ra, rb = _round_mod_switch(temp.a, temp.b, N)
     phase_r = np.asarray(mk_lwe_phase(MKLweSample(ra, rb), lwe_keys))
     phase_pos = np.where(~np.asarray(want), 1.0, -1.0) * (
