@@ -148,10 +148,13 @@ def test_plain22_convert_and_flow(keys):
     assert got == (p22 & p23)
 
 
+@pytest.mark.slow
 def test_csv_sort_flow(keys):
     """The bootstrap_modules dataset sort (bubble_sort :341-387 over
     data.csv-style values): encrypted sort of the first column of the
-    reference's own data1.csv rows equals the plaintext sort."""
+    reference's own data1.csv rows equals the plaintext sort. (Slow-marked:
+    the sort network is already covered at this size by test_circuits; this
+    adds only the reference-data provenance.)"""
     import csv
 
     with open(os.path.join(GOLD, "data1.csv")) as f:

@@ -82,22 +82,25 @@ def _write_tiny_csv(path, tr_f, tr_l, te_f, te_l):
 
 
 def test_mk_knn_pipeline_tiny(keys, tmp_path):
-    """Full MK KNN pipeline at tiny sizes: predictions bit-match the circuit
-    oracle, and the threshold tail agrees with the MK decryption."""
+    """Full MK KNN pipeline at tiny sizes, with the test rows batched through
+    the circuit as one batch axis: predictions bit-match the circuit oracle,
+    and the threshold tail agrees with the MK decryption per row."""
     params, _, _ = keys
     tr_f = np.array([[1, 2], [6, 7], [2, 1]])
     tr_l = np.array([1, 0, 1])
-    te_f = np.array([[1, 1]])
-    te_l = np.array([1])
+    te_f = np.array([[1, 1], [7, 7]])
+    te_l = np.array([1, 0])
     csv = str(tmp_path / "tiny.csv")
     _write_tiny_csv(csv, tr_f, tr_l, te_f, te_l)
 
     res = mk_knn.run_mk_pipeline(jax.random.PRNGKey(0), params, PARTIES, csv,
-                                 k=3, width=4, train_rows=3, test_rows=1)
+                                 k=3, width=4, train_rows=3, test_rows=2,
+                                 batch_tests=True)
     assert res["matches_oracle"], res
-    assert res["predictions"] == [1], res
-    for row in res["threshold_tail"][0]:
-        assert row["bit"] == res["predictions"][0], res["threshold_tail"]
+    assert res["predictions"] == res["oracle"], res
+    for pred, tail in zip(res["predictions"], res["threshold_tail"]):
+        for row in tail:
+            assert row["bit"] == pred, res["threshold_tail"]
 
 
 def test_single_key_threshold_tail():

@@ -98,7 +98,10 @@ def mk_knn_predict(ck: MKCloudKey, train_rows: MKLweSample,
                                             [label_words])
 
     cnt_width = max(2, k.bit_length() + 1)
-    zero_bit = g3.mk_gate_constant(ck, jnp.zeros((), bool))
+    # the zero bit must carry the label words' trailing batch axes (e.g. the
+    # batched-test-rows axis) so _stack_bits shapes align
+    zero_bit = g3.mk_gate_constant(
+        ck, jnp.zeros(sorted_labels[0].b.shape[1:], bool))
 
     def widen(bit_word: MKLweSample) -> MKLweSample:
         pads = [g3._bit(bit_word, 0)] + [zero_bit] * (cnt_width - 1)
@@ -112,6 +115,9 @@ def mk_knn_predict(ck: MKCloudKey, train_rows: MKLweSample,
     # predict 1 iff count > k/2  <=>  NOT(count < floor(k/2)+1)
     thresh_bits = jnp.array([(k // 2 + 1) >> i & 1
                              for i in range(cnt_width)]) == 1
+    thresh_bits = jnp.broadcast_to(
+        thresh_bits.reshape((cnt_width,) + (1,) * (count.b.ndim - 1)),
+        count.b.shape)
     thresh = g3.mk_gate_constant(ck, thresh_bits)
     less = g3._bit(g3.mk_subtract(ck, count, thresh, cnt_width), cnt_width - 1)
     return g3.mk_gate_not(ck, less)
@@ -213,7 +219,7 @@ def run_mk_pipeline(key, params, parties: int, csv_path: str, k: int = 5,
                     width: int = 8, train_rows: int = 5, test_rows: int = 1,
                     feature_cols=None, scale_shift: int = 0,
                     forms=None, threshold_tail: bool = True,
-                    progress=None) -> dict:
+                    progress=None, batch_tests: bool = True) -> dict:
     """k-party encrypted-KNN E2E (BASELINE configs[4]): per-party keygen,
     multikey cloud keygen, multikey encryption of the cardio rows, encrypted
     prediction per test row, multikey decryption + accuracy tally
@@ -236,18 +242,53 @@ def run_mk_pipeline(key, params, parties: int, csv_path: str, k: int = 5,
                                      tr_f, tr_l, width, params)
 
     predictions, tails = [], []
-    for i in range(te_f.shape[0]):
-        test_word = mk_int_encrypt(jax.random.fold_in(key, 50 + i), lwe_keys,
-                                   jnp.asarray(te_f[i]), width, params)
-        decision = mk_knn_predict(ck, feats, labs, test_word, k, width)
+    if batch_tests:
+        # all test rows ride the circuit as ONE extra batch axis: every gate
+        # bootstrap carries T x (rows x cols x bits) gates, amortising the
+        # sequential circuit depth across test rows
+        T = te_f.shape[0]
+        test_word = mk_int_encrypt(jax.random.fold_in(key, 50), lwe_keys,
+                                   jnp.asarray(te_f), width, params)
+        # test_word: (width, T, cols, P, n); the T axis slots in AFTER the
+        # train-row axis of the (broadcast) feature/label words, so
+        # mk_knn_predict's row indexing at axis 1 is unchanged and T rides
+        # as a plain trailing batch axis
+        feats_b = MKLweSample(
+            jnp.broadcast_to(feats.a[:, :, None],
+                             feats.a.shape[:2] + (T,) + feats.a.shape[2:]),
+            jnp.broadcast_to(feats.b[:, :, None],
+                             feats.b.shape[:2] + (T,) + feats.b.shape[2:]))
+        labs_b = MKLweSample(
+            jnp.broadcast_to(labs.a[:, :, None],
+                             labs.a.shape[:2] + (T,) + labs.a.shape[2:]),
+            jnp.broadcast_to(labs.b[:, :, None],
+                             labs.b.shape[:2] + (T,) + labs.b.shape[2:]))
+        decision = mk_knn_predict(ck, feats_b, labs_b, test_word, k, width)
         decision.b.block_until_ready()
-        predictions.append(int(np.asarray(jax.device_get(
-            mk_decrypt(lwe_keys, decision)))))
-        if threshold_tail:
-            tails.append(mk_threshold_tail(
-                decision, lwe_keys, jax.random.fold_in(key, 90 + i)))
-        if progress is not None:
-            progress(i, predictions[-1])
+        dec_bits = np.asarray(jax.device_get(
+            mk_decrypt(lwe_keys, decision))).reshape(-1)
+        predictions = [int(b) for b in dec_bits]
+        for i in range(te_f.shape[0]):
+            if threshold_tail:
+                row_dec = MKLweSample(decision.a[i], decision.b[i])
+                tails.append(mk_threshold_tail(
+                    row_dec, lwe_keys, jax.random.fold_in(key, 90 + i)))
+            if progress is not None:
+                progress(i, predictions[i])
+    else:
+        for i in range(te_f.shape[0]):
+            test_word = mk_int_encrypt(jax.random.fold_in(key, 50 + i),
+                                       lwe_keys, jnp.asarray(te_f[i]), width,
+                                       params)
+            decision = mk_knn_predict(ck, feats, labs, test_word, k, width)
+            decision.b.block_until_ready()
+            predictions.append(int(np.asarray(jax.device_get(
+                mk_decrypt(lwe_keys, decision)))))
+            if threshold_tail:
+                tails.append(mk_threshold_tail(
+                    decision, lwe_keys, jax.random.fold_in(key, 90 + i)))
+            if progress is not None:
+                progress(i, predictions[-1])
 
     oracle = plaintext_oracle(tr_f, tr_l, te_f, k, width)
     correct = sum(int(p == int(t)) for p, t in zip(predictions, te_l))

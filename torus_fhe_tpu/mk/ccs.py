@@ -383,13 +383,26 @@ def ccs_blind_rotate_fb(acc, ck: CCSCloudKey, bara, chunk: int = 32):
         delta_b = u[:, P] + w0
         return acc + jnp.concatenate([delta_a, delta_b[:, None]], axis=1), None
 
-    for c0 in range(0, steps + spad, chunk):
-        xs = (fblock.expand_fblock_chunk(d_sel[c0:c0 + chunk], geom),
-              fblock.expand_fblock_chunk(f0_sel[c0:c0 + chunk], geom),
-              fblock.expand_fblock_chunk(f1_sel[c0:c0 + chunk], geom),
-              onehots[c0:c0 + chunk],
-              jnp.swapaxes(bara[:, c0:c0 + chunk], 0, 1))
-        acc, _ = jax.lax.scan(step, acc, xs)
+    # outer scan over chunks (the body compiles ONCE); inner scan over the
+    # chunk's steps with the three per-step kernels expanded on entry
+    n_chunks = (steps + spad) // chunk
+    d_c = d_sel.reshape((n_chunks, chunk) + d_sel.shape[1:])
+    f0_c = f0_sel.reshape((n_chunks, chunk) + f0_sel.shape[1:])
+    f1_c = f1_sel.reshape((n_chunks, chunk) + f1_sel.shape[1:])
+    oh_c = onehots.reshape((n_chunks, chunk) + onehots.shape[1:])
+    bara_c = jnp.swapaxes(bara.reshape(B, n_chunks, chunk), 0, 1)
+
+    def chunk_body(acc, xs):
+        d_k, f0_k, f1_k, oh_k, bara_k = xs
+        inner = (fblock.expand_fblock_chunk(d_k, geom),
+                 fblock.expand_fblock_chunk(f0_k, geom),
+                 fblock.expand_fblock_chunk(f1_k, geom),
+                 oh_k, jnp.swapaxes(bara_k, 0, 1))
+        acc, _ = jax.lax.scan(step, acc, inner)
+        return acc, None
+
+    acc, _ = jax.lax.scan(chunk_body, acc,
+                          (d_c, f0_c, f1_c, oh_c, bara_c))
     return acc
 
 

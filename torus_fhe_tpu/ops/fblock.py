@@ -302,27 +302,39 @@ def blind_rotate_streamed(acc_a, sel, bara, geom: FBlockGeometry,
         bara = jnp.concatenate(
             [bara, jnp.zeros((B, spad), bara.dtype)], axis=1)
     acc = acc_a
-    if acc is None and not use_pallas:
+    if acc is None:
+        # explicit initial accumulator (the per-chunk scan body below is
+        # uniform, so the in-kernel stepvec mode does not apply)
         mu32, barb = stepvec
-        tv = jnp.broadcast_to(jnp.int32(mu32), (B, N))
+        dt = jnp.int32 if geom.bits == 32 else jnp.int64
+        tv = jnp.broadcast_to(jnp.asarray(mu32, dt), (B, N))
         tv = poly.mul_by_monomial(tv, -jnp.asarray(barb, jnp.int32))
-        acc = jnp.zeros((B, C, N), jnp.int32).at[:, C - 1].set(tv)
+        acc = jnp.zeros((B, C, N), dt).at[:, C - 1].set(tv)
     geom_c = geom._replace(n=chunk)
-    for c0 in range(0, steps + spad, chunk):
-        fb_c = expand_fblock_chunk(sel[c0:c0 + chunk], geom)
-        bara_c = bara[:, c0:c0 + chunk]
+    n_chunks = (steps + spad) // chunk
+    sel_c = sel.reshape((n_chunks, chunk) + sel.shape[1:])
+    bara_c = jnp.swapaxes(bara.reshape(B, n_chunks, chunk), 0, 1)
+
+    # ONE outer lax.scan over chunks: the chunk body (expansion + rotate)
+    # compiles once instead of once per chunk — a python chunk loop at
+    # production step counts produced programs that took an hour to compile
+    def body(acc, xs):
+        sel_k, bara_k = xs
+        fb_k = expand_fblock_chunk(sel_k, geom)
         if use_pallas:
             from .pallas_rotate import blind_rotate_pallas
 
-            if acc is None:
-                acc = blind_rotate_pallas(
-                    None, fb_c, bara_c, geom_c, decomp_length, log2_base,
-                    offset, stepvec=stepvec)
-            else:
-                acc = blind_rotate_pallas(
-                    acc, fb_c, bara_c, geom_c, decomp_length, log2_base,
-                    offset)
+            # explicit-acc mode carries a (C, bt, N) input block in VMEM, so
+            # cap the batch tile below the stepvec-mode default — at bt=4096
+            # the acc input alone would be 32 MB
+            acc = blind_rotate_pallas(acc, fb_k, bara_k, geom_c,
+                                      decomp_length, log2_base, offset,
+                                      b_tile=min(1024, max(8, B)),
+                                      interleave=4)
         else:
-            acc = blind_rotate_fblock(acc, fb_c, bara_c, geom_c,
+            acc = blind_rotate_fblock(acc, fb_k, bara_k, geom_c,
                                       decomp_length, log2_base, offset)
+        return acc, None
+
+    acc, _ = lax.scan(body, acc, (sel_c, bara_c))
     return acc
