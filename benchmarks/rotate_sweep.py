@@ -26,13 +26,19 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--configs", default="128:1,128:2,256:1,256:2,256:4")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--l3", action="store_true",
+                    help="sweep the reference-faithful l=3/Bg=2^7 geometry "
+                         "(tfhe_128_tpu) instead of the l=2 fast set — its "
+                         "8-row/6-col tiles were only ever tuned by proxy")
     args = ap.parse_args()
 
     from torus_fhe_tpu.boot import api, bootstrap
-    from torus_fhe_tpu.core.params import tfhe_parameters_128_tpu_fast
+    from torus_fhe_tpu.core.params import (tfhe_parameters_128_tpu,
+                                           tfhe_parameters_128_tpu_fast)
     from torus_fhe_tpu.ops.pallas_rotate import blind_rotate_pallas
 
-    params = tfhe_parameters_128_tpu_fast()
+    params = (tfhe_parameters_128_tpu() if args.l3
+              else tfhe_parameters_128_tpu_fast())
     t0 = time.time()
     sk, ck = api.make_key_pair(jax.random.PRNGKey(0), params,
                                forms=("fblock",))
