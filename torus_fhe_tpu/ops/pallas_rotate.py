@@ -195,6 +195,18 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
         # 11.3k rot/s for il=4 under identical load at the 128-bit set);
         # small batches prefer the 256-tile 2-chain interleave
         b_tile, interleave = (4096, 16) if B >= 2048 else (256, 2)
+        # VMEM guard: accumulator/out (C*bt*N*4), digit scratch
+        # (bt*nb*R*bs), and the double-buffered key block must fit the
+        # ~128 MB budget — wider-column geometries (e.g. the 8-col MK key)
+        # overflow at the 4096 tile (seen: 134.5M/128M compile error)
+        def _vmem_est(bt_):
+            return (C * bt_ * N * 4 * (1 if stepvec is not None else 2)
+                    + bt_ * geom.nb * geom.R * geom.bs
+                    + 2 * geom.D * geom.R * geom.bs * ncols * geom.bs)
+
+        while b_tile > 256 and _vmem_est(b_tile) > 100 * 1024 * 1024:
+            b_tile //= 2
+            interleave = max(2, interleave // 2)
     elif not interleave:
         interleave = 2
     bt = min(b_tile, max(8, B))
