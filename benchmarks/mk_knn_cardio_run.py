@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny insecure params (smoke test)")
+    ap.add_argument("--batch-tests", action="store_true",
+                    help="ride all test rows as one circuit batch axis "
+                         "(faster; at large widths the fused TPU programs "
+                         "have hit vmem limits — per-row is the verified "
+                         "default)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -69,7 +74,8 @@ def main():
     res = mk_knn.run_mk_pipeline(
         jax.random.PRNGKey(3), params, args.parties, CSV, k=args.k,
         width=args.width, train_rows=args.train_rows,
-        test_rows=args.test_rows, scale_shift=args.shift, progress=progress)
+        test_rows=args.test_rows, scale_shift=args.shift, progress=progress,
+        batch_tests=args.batch_tests)
     wall = time.time() - t0
 
     # the tail must agree with the MK decryption at every bound
