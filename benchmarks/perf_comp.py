@@ -118,6 +118,7 @@ def main():
 
         if "3gen" in args.schemes:
             from torus_fhe_tpu.mk.keys3gen import (mk_fb_geometry,
+                                                   mk_fb_stream_supported,
                                                    mk_fb_supported)
 
             p3 = params_for("3gen")
@@ -135,6 +136,11 @@ def main():
                     print(f"# 3gen p={parties}: F-block would be "
                           f"{fb_bytes / 2**30:.1f} GB > --fb-limit-gb; "
                           f"using the streamed compact form", file=sys.stderr)
+            elif mk_fb_stream_supported(p3) and not args.no_fblock:
+                # wide-digit gadgets (>=16 parties): exact 64-bit streamed form
+                forms = ("fbstream",)
+                print(f"# 3gen p={parties}: wide-digit gadget -> exact "
+                      f"64-bit streamed form", file=sys.stderr)
             sks = [mk.mk_party_keygen(jax.random.PRNGKey(10 + p), p3)
                    for p in range(parties)]
             # key cache: host keygen at production sizes takes tens of
