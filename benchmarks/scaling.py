@@ -220,9 +220,11 @@ def main():
             "of the shared XLA:CPU Eigen pool (they can exceed wall time): "
             "busy growing ~linearly with d while wall grows too is exactly "
             "the contention signature — per-shard WORK stays constant, the "
-            "cores saturate. On real chips each shard runs on its own "
-            "silicon, so per-device busy time, not this wall-clock "
-            "efficiency, is the scaling predictor")
+            "cores saturate. At high d the Eigen pool's spin-waiting "
+            "inflates busy beyond physically available core-seconds, so "
+            "treat large-d busy values as an upper bound. On real chips "
+            "each shard runs on its own silicon, so per-device busy time, "
+            "not this wall-clock efficiency, is the scaling predictor")
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "measurements", f"scaling_{platform}.json")
