@@ -30,6 +30,8 @@ import numpy as np
 
 
 def size_tag(args) -> str:
+    if getattr(args, "fixed_set", None) is not None:
+        return f"fx{args.fixed_set}"
     return "real" if args.real else f"n{args.n}N{args.N}"
 
 
@@ -81,6 +83,15 @@ def main():
                          "(perf_comp.jl:103-143)")
     ap.add_argument("--no-fblock", action="store_true",
                     help="force the conv scan for 3gen too")
+    ap.add_argument("--keygen-only", action="store_true",
+                    help="build + cache the cloud keys, skip the timing run "
+                         "(host keygens are the long pole: run them on CPU "
+                         "in the background, then time on TPU from cache)")
+    ap.add_argument("--fixed-set", default=None, metavar="SUFFIX",
+                    help="the reference protocol (perf_comp.jl:15-17): use "
+                         "the FIXED registry set mk_<SUFFIX>party_<scheme> "
+                         "for every party count instead of the per-count "
+                         "set, e.g. --fixed-set 16")
     ap.add_argument("--fb-limit-gb", type=float, default=10.0,
                     help="max expanded F-block size to materialise")
     ap.add_argument("--out", default=None,
@@ -110,6 +121,14 @@ def main():
         from torus_fhe_tpu.core.params import PARAMETER_REGISTRY
 
         def params_for(scheme):
+            if args.fixed_set is not None:
+                p = PARAMETER_REGISTRY[
+                    f"mk_{args.fixed_set}party_{scheme}"]()
+                # the registry set pins max_parties; the reference runs it
+                # at SMALLER party counts too (perf_comp.jl:13-17)
+                import dataclasses
+
+                return dataclasses.replace(p, max_parties=parties)
             if args.real:
                 return PARAMETER_REGISTRY[f"mk_{parties}party_{scheme}"]()
             maker = {"3gen": test_parameters_3gen, "ccs": test_parameters_ccs,
@@ -197,6 +216,11 @@ def main():
                 jax.jit(lambda _ck, x, y: mkms.mk_gate_nand(_ck, x, y)), ck)
             setups["kms-fb" if kms_forms == ("fb",) else "kms"] = (
                 pk_, [s.lwe for s in sks], gate)
+
+        if args.keygen_only:
+            print(f"# keygen-only: p={parties} keys cached for "
+                  f"{sorted(setups)}", file=sys.stderr, flush=True)
+            continue
 
         for name, (params, lwe_keys, gate) in setups.items():
             try:

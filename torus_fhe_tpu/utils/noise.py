@@ -182,11 +182,12 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
     if scheme == "3gen":
         from .. import mk
         from ..mk import gates3gen
-        from ..mk.keys3gen import mk_fb_supported
+        from ..mk.keys3gen import mk_fb_stream_supported, mk_fb_supported
 
         if fast_form is None:
-            fast_form = mk_fb_supported(params)
-        if fast_form:
+            fast_form = mk_fb_supported(params) or mk_fb_stream_supported(
+                params)
+        if fast_form and mk_fb_supported(params):
             # pick the expanded or streamed fast form by size (the shipped
             # >=4-party configuration is the streamed compact key)
             from ..mk.keys3gen import mk_fb_geometry
@@ -194,6 +195,11 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
             g = mk_fb_geometry(params, parties)
             fb_bytes = g.n * g.D * g.R * g.bs * len(g.cols) * g.bs
             forms = ("fblock",) if fb_bytes <= 10 * 2**30 else ("fbstream",)
+        elif fast_form and mk_fb_stream_supported(params):
+            # wide-digit (Bg>2^8) sets: the exact 64-bit streamed form — the
+            # form the >=16-party TPU rows actually run (hi-word rounding is
+            # noise-unsafe there, keys3gen.mk_fb_supported)
+            forms = ("fbstream",)
         else:
             forms = ("conv",)
         sks = [mk.mk_party_keygen(jax.random.fold_in(key, 100 + p), params)
