@@ -30,6 +30,10 @@ def main():
                     help="sweep the reference-faithful l=3/Bg=2^7 geometry "
                          "(tfhe_128_tpu) instead of the l=2 fast set — its "
                          "8-row/6-col tiles were only ever tuned by proxy")
+    ap.add_argument("--ablate", default=None,
+                    help="comma list of kernel phase ablations to time at "
+                         "the FIRST config (phase-split evidence; outputs "
+                         "are semantically wrong): norot,nodec,nodot")
     args = ap.parse_args()
 
     from torus_fhe_tpu.boot import api, bootstrap
@@ -56,20 +60,24 @@ def main():
     mu = 1 << 29
 
     ref = None
-    for cfg in args.configs.split(","):
+    cfgs = [(cfg, None) for cfg in args.configs.split(",")]
+    if args.ablate:
+        first = args.configs.split(",")[0]
+        cfgs += [(first, ab) for ab in args.ablate.split(",")]
+    for cfg, ab in cfgs:
         parts = [int(v) for v in cfg.split(":")]
         bt, il = parts[0], parts[1]
         un = parts[2] if len(parts) > 2 else 1
 
-        @functools.partial(jax.jit, static_argnums=(3, 4, 5))
-        def fn(fb, bara_, barb_, bt_, il_, un_):
+        @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+        def fn(fb, bara_, barb_, bt_, il_, un_, ab_):
             return blind_rotate_pallas(
                 None, fb, bara_, geom, tg.decomp_length, tg.log2_base,
                 tg.offset, b_tile=bt_, interleave=il_, unroll=un_,
-                stepvec=(mu, barb_))
+                stepvec=(mu, barb_), ablate=ab_)
 
         fn = functools.partial(fn, ck.bootstrap_key.fb, bara, barb, bt, il,
-                               un)
+                               un, ab)
         try:
             t0 = time.time()
             out = jax.block_until_ready(fn())
@@ -77,9 +85,9 @@ def main():
         except Exception as e:
             print(f"bt={bt:4d} il={il} U={un}: FAILED {str(e)[:160]}", flush=True)
             continue
-        if ref is None:
+        if ref is None and ab is None:
             ref = np.asarray(out[:64])
-        else:
+        elif ab is None:
             ok = np.array_equal(np.asarray(out[:64]), ref)
             if not ok:
                 print(f"bt={bt:4d} il={il} U={un}: MISMATCH vs first config!",
@@ -90,7 +98,8 @@ def main():
         _ = float(jnp.sum(out[0]))  # device->host fetch: tunnel-proof timing
         jax.block_until_ready(out)
         dt = (time.time() - t0) / args.iters
-        print(f"bt={bt:4d} il={il} U={un}: {B / dt:9.1f} rot/s  "
+        tag = f" ablate={ab}" if ab else ""
+        print(f"bt={bt:4d} il={il} U={un}{tag}: {B / dt:9.1f} rot/s  "
               f"({dt * 1e3:7.1f} ms/batch, compile {compile_s:.1f}s)",
               flush=True)
 

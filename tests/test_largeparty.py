@@ -59,3 +59,29 @@ def test_16party_gadget_nand_two_parties():
     out = mk.gates3gen.mk_gate_nand(ck, cx, cy)
     dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
     np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))
+
+
+def test_8party_streamed_gate_truth_table():
+    """8-party NAND through the STREAMED compact F-block form at shrunken
+    n/N — the one-chip >=4-party TPU configuration (perf_comp 8p row runs
+    exactly this form at the registry set), previously covered only by
+    trials=2 TPU perf rows (VERDICT r4 weak #5). Fast tier: tiny sizes keep
+    the 8-party keygen + 16*n-step chain under a minute on CPU."""
+    from torus_fhe_tpu import mk
+    from torus_fhe_tpu.core.params import test_parameters_3gen
+
+    parties = 8
+    params = test_parameters_3gen(parties=parties, n=6, N=64)
+    sks = [mk.mk_party_keygen(jax.random.PRNGKey(800 + p), params)
+           for p in range(parties)]
+    ck = mk.mk_cloud_keygen(jax.random.PRNGKey(801), sks, params,
+                            forms=("fbstream",))
+    assert ck.bk_fb_sel is not None and ck.bk_fb is None  # streamed, hi-word
+    lwe_keys = [sk.lwe for sk in sks]
+    xs = jnp.asarray([False, False, True, True])
+    ys = jnp.asarray([False, True, False, True])
+    cx = mk.mk_encrypt(jax.random.PRNGKey(802), lwe_keys, xs, params)
+    cy = mk.mk_encrypt(jax.random.PRNGKey(803), lwe_keys, ys, params)
+    out = mk.gates3gen.mk_gate_nand(ck, cx, cy)
+    dec = np.asarray(mk.mk_decrypt(lwe_keys, out))
+    np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))

@@ -56,7 +56,8 @@ def _negacyclic_roll(x, s: int):
 
 def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
                    geom: FBlockGeometry, decomp_length: int, log2_base: int,
-                   offset: int, il: int, stepvec_mu, unroll: int = 1):
+                   offset: int, il: int, stepvec_mu, unroll: int = 1,
+                   ablate: str | None = None):
     C, R = geom.C, geom.R
     nb, D, bs, N = geom.nb, geom.D, geom.bs, geom.N
     Rbs = R * bs
@@ -89,12 +90,15 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
         # (1, bts, 1) int32 so i1 masks are born 3-D (Mosaic can't reshape i1)
         sh = bara_row[:, lo:lo + bts].reshape(1, -1, 1) & (2 * N - 1)
         x = acc
-        bit = 1
-        while bit < N:
-            rolled = _negacyclic_roll(x, bit)
-            x = jnp.where((sh & bit) != 0, rolled, x)
-            bit <<= 1
-        x = jnp.where((sh & N) != 0, -x, x)
+        if ablate != "norot":  # ablation harness: skip the barrel (timing)
+            bit = 1
+            while bit < N:
+                rolled = _negacyclic_roll(x, bit)
+                x = jnp.where((sh & bit) != 0, rolled, x)
+                bit <<= 1
+            x = jnp.where((sh & N) != 0, -x, x)
+        if ablate == "nodec":  # skip the decompose+scatter (digits stale)
+            return
         shifted = (x - acc) + jnp.int32(offset)  # (X^bara - 1) * acc + offset
         mask = jnp.int32((1 << log2_base) - 1)
         half = jnp.int32(1 << (log2_base - 1))
@@ -116,6 +120,10 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
         lo = sub * bts
         pending = None
         for j in range(nb):
+            if ablate == "nodot":  # keep combine honest: a non-foldable read
+                junk = digits_ref[sub, :, :bs].astype(jnp.int32)
+                _combine(lo, j, jnp.concatenate([junk] * ncols, axis=-1))
+                continue
             m0 = (-j) % D
             len1 = min(nb, D - m0)
             acc32 = jax.lax.dot_general(
@@ -131,7 +139,8 @@ def _rotate_kernel(bara_ref, init_ref, fb_ref, out_ref, digits_ref, *,
             if pending is not None:
                 _combine(*pending)
             pending = (lo, j, acc32)
-        _combine(*pending)
+        if pending is not None:
+            _combine(*pending)
 
     def _combine(lo: int, j: int, acc32):
         sl = pl.ds(j * bs, bs)
@@ -173,7 +182,7 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
                         decomp_length: int, log2_base: int, offset: int,
                         *, b_tile: int | None = None, interleave: int = 0,
                         unroll: int = 1, stepvec=None,
-                        interpret: bool = False):
+                        interpret: bool = False, ablate: str | None = None):
     """Fused CMux chain. fb: (n, D*R*bs, ncols*bs) int8 (seq_perm delta
     order, see ops/fblock.seq_perm); bara: (B, n) int32.
 
@@ -247,7 +256,8 @@ def blind_rotate_pallas(acc_a, fb, bara, geom: FBlockGeometry,
 
     kern = functools.partial(
         _rotate_kernel, geom=geom, decomp_length=decomp_length,
-        log2_base=log2_base, offset=offset, il=il, stepvec_mu=mu, unroll=U)
+        log2_base=log2_base, offset=offset, il=il, stepvec_mu=mu, unroll=U,
+        ablate=ablate)
 
     Rbs = geom.R * geom.bs
     CLbs = ncols * geom.bs
