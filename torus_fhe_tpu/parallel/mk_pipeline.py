@@ -81,6 +81,44 @@ def _local_geom(params):
         params.rlwe_mask_size, params.gsw_decomp_length, 32, 0)
 
 
+def build_sharded_mk_sel(ck_samples, params, parties: int, mesh: Mesh):
+    """Party-shard the COMPACT F-block key (the streamed/large-party form).
+
+    ck_samples: (parties*n, l, 2, 2, N) torus64 (host). Returns a
+    (parties, n, R, 2N, ncols) int8 array sharded along PARTY_AXIS — each
+    chip holds its parties' compact lines (~256x smaller than the expanded
+    form build_sharded_mk_fb ships) and expands them on the fly per step
+    chunk inside the pipelined rotate (fblock.blind_rotate_streamed). This
+    is the flagship >=4-party one-chip configuration run under the mesh.
+    """
+    assert mesh.shape[PARTY_AXIS] == parties, (mesh.shape, parties)
+    n = params.lwe_size
+    geom = _local_geom(params)
+    samples = np.asarray(jax.device_get(ck_samples))
+    hi = hi_round_samples(samples).reshape(parties, n, *samples.shape[1:])
+    sharding = NamedSharding(mesh, P(PARTY_AXIS))
+    first = None
+    cache: dict[int, jax.Array] = {}
+    shards = []
+    probe_shape = (parties, n, 1, 1)
+    for dev, idx in sharding.addressable_devices_indices_map(
+            probe_shape).items():
+        p = idx[0].start if idx[0].start is not None else 0
+        if p not in cache:
+            with jax.default_device(dev):
+                cache[p] = jnp.expand_dims(
+                    jnp.asarray(fblock.build_sel(hi[p], geom)), 0)
+        arr = cache[p]
+        if first is None:
+            first = arr
+        if dev not in arr.devices():
+            arr = jax.device_put(arr, dev)
+        shards.append(arr)
+    global_shape = (parties,) + tuple(first.shape[1:])
+    return jax.make_array_from_single_device_arrays(global_shape, sharding,
+                                                    shards)
+
+
 def mk_blind_rotate_pipelined(fb_sharded, bara, barb, mu32: int, params,
                               parties: int, mesh: Mesh,
                               microbatches: int = 4):
@@ -89,7 +127,10 @@ def mk_blind_rotate_pipelined(fb_sharded, bara, barb, mu32: int, params,
 
     bara: (B, parties, n) int32 mod-switched masks (party-major, the
     MKLweSample layout); barb: (B,) int32; mu32: static int, the hi word of
-    the 64-bit test-vector value.
+    the 64-bit test-vector value. ``fb_sharded``: the party-sharded key,
+    either pre-expanded (parties, n, rows, cols) from build_sharded_mk_fb
+    or COMPACT (parties, n, R, 2N, ncols) from build_sharded_mk_sel — the
+    compact form streams its expansion per step chunk on each chip.
 
     Schedule: T = M + P - 1 ticks. At tick t, the chip holding party p
     rotates microbatch (t - p) through its n local CMux steps and hands the
@@ -139,9 +180,14 @@ def mk_blind_rotate_pipelined(fb_sharded, bara, barb, mu32: int, params,
                                init_acc(m_idx), acc_in)
             ba = lax.dynamic_index_in_dim(
                 bara_loc, jnp.clip(m_idx, 0, M - 1), 0, False)  # (Bm, n)
-            acc_out = fblock.blind_rotate_fblock(
-                acc_in, fb_loc, ba, geom, tg32.decomp_length, tg32.log2_base,
-                tg32.offset)
+            if fb_loc.ndim == 4:  # compact sel lines: streamed expansion
+                acc_out = fblock.blind_rotate_streamed(
+                    acc_in, fb_loc, ba, geom, tg32.decomp_length,
+                    tg32.log2_base, tg32.offset)
+            else:  # (n, rows, cols) pre-expanded F-block
+                acc_out = fblock.blind_rotate_fblock(
+                    acc_in, fb_loc, ba, geom, tg32.decomp_length,
+                    tg32.log2_base, tg32.offset)
             # party P-1 banks its finished microbatch
             bank_idx = jnp.clip(m_idx, 0, M - 1)
             banked = lax.dynamic_update_index_in_dim(
