@@ -166,11 +166,12 @@ def main() -> None:
             "compile_s": round(compile_s, 2), "keygen_s": round(keygen_s, 2),
             "p50_single_bootstrap_ms": round(p50_ms, 1),
             "params": ("tfhe_128_tpu (n=630, N=1024, k=1, l=3 Bg=2^7, "
-                       "quantized BK: mask-2^11 lossless + body-2^8, "
-                       "6 limb-cols)"
+                       "full masks + body-2^8 rounding, 7 limb-cols; r5 "
+                       "sound-BK fix)"
                        if "--l3" in sys.argv else
-                       "tfhe_128_tpu_fast (n=630, N=1024, k=1, l=2 Bg=2^8, "
-                       "quantized BK: mask-2^16 + body-2^8, 5 limb-cols)"),
+                       "tfhe_128_tpu_fast (n=630, N=512, k=2 module-LWE, "
+                       "l=2 Bg=2^8, full masks + body-2^8 rounding, "
+                       "11 limb-cols; r5 sound-BK fix)"),
             "backend": "pallas fused blind rotate (F-block BK)",
             "device": str(jax.devices()[0]),
             "note": "target is 100k gates/s on v5e-8 => 12.5k/chip",

@@ -104,18 +104,21 @@ def test_fblock_drop_limbs_gate():
     np.testing.assert_array_equal(dec, np.asarray(xs) ^ np.asarray(ys))
 
 
-def test_quantized_bk_all_backends():
-    """Quantized BK (mask quantum 2^16, body rounded 2^8) with the l=2 Bg=2^8
-    gadget: the F-block drop is lossless on the quantized key, so fblock ==
-    scan bit-exactly and every backend decrypts the gate correctly."""
+def test_rounded_body_bk_all_backends():
+    """Rounded-body BK (body rounded to 2^8 at keygen, the SOUND r5
+    compression — the r4 quantized-mask variant is withdrawn, see
+    tests/test_quantized_mask_attack.py) with the l=2 Bg=2^8 gadget and a
+    rank-2 module (k=2): the F-block body drop is lossless on the rounded
+    key, so fblock == scan bit-exactly and every backend decrypts the gate
+    correctly — the tiny-shape twin of tfhe_parameters_128_tpu_fast."""
     base = make_test_params(n=12, N=64)
     params = SchemeParams(**{**base.__dict__, "bs_decomp_length": 2,
-                             "bs_log2_base": 8, "bk_drop_limbs": 1,
-                             "bk_mask_quantum_bits": 16})
+                             "bs_log2_base": 8, "rlwe_mask_size": 2,
+                             "bk_drop_limbs": 1})
     sk, ck = api.make_key_pair(jax.random.PRNGKey(11), params,
                                forms=("conv", "fblock"))
     geom = bootstrap._bk_geometry(params)
-    assert len(geom.cols) == 5  # mask 2 limbs + body 3 limbs
+    assert len(geom.cols) == 11  # 2 masks x 4 limbs + body 3 limbs
     tg = params.tgsw
 
     rng = np.random.default_rng(12)

@@ -83,16 +83,22 @@ def bootstrap_keygen(key, alpha: float, lwe_key: LweKey, rlwe_key: RLweKey,
     """
     drop = getattr(params, "bk_drop_limbs", 0)
     mq = getattr(params, "bk_mask_quantum_bits", 0)
-    # quantized BK: mask rounded to 2^mq BEFORE the body is computed (lossless
-    # limb drop + harder RLWE instance), body rounded to the dropped byte
-    # scale (extra body noise ~2^(8*drop)/sqrt(12), unamplified)
+    assert mq == 0, \
+        "quantized-mask BKs are insecure (key recovery by rounding + linear " \
+        "algebra, tests/test_quantized_mask_attack.py) — removed in r5"
+    # BK body compression (sound): the body is rounded to the dropped byte
+    # scale at keygen (a deterministic post-hoc degradation of a full-entropy
+    # sample — no security impact; extra noise ~2^(8*drop)/sqrt(12) per
+    # coefficient at the torus-int scale, ~sigma_bk for one byte). The mask
+    # keeps every limb (ops/fblock.default_cols).
     gsw = tgsw_encrypt(key, lwe_key.key, alpha, rlwe_key, params.tgsw,
-                       params.rlwe, mask_round_bits=mq,
-                       body_round_bits=8 * drop if mq else 0)
+                       params.rlwe, body_round_bits=8 * drop)
     kernels = None
     fb = None
     if "conv" in forms:
-        kernels = pack_tgsw(gsw, params.tgsw, drop).kernels
+        # full-limb conv kernels: limb drops are an F-block COLUMN concern
+        # (body-only); dropping packed mask limbs here would be lossy
+        kernels = pack_tgsw(gsw, params.tgsw, 0).kernels
     if "fblock" in forms:
         samples = np.asarray(jax.device_get(gsw.samples))
         geom = _bk_geometry(params)
@@ -107,12 +113,11 @@ def rebuild_bk_forms(samples, params: SchemeParams, forms=("conv",),
                      fblock_device=None) -> BootstrapKey:
     """Rebuild the MXU key form(s) from compact TGSW ``samples`` — the load
     half of serialization (see BootstrapKey.samples)."""
-    drop = getattr(params, "bk_drop_limbs", 0)
     host = np.asarray(jax.device_get(samples))
     kernels = None
     fb = None
     if "conv" in forms:
-        kernels = pack_tgsw(TGswSample(host), params.tgsw, drop).kernels
+        kernels = pack_tgsw(TGswSample(host), params.tgsw, 0).kernels
     if "fblock" in forms:
         geom = _bk_geometry(params)
         ctx = jax.default_device(fblock_device) if fblock_device is not None \
@@ -146,8 +151,9 @@ def mux_rotate(accum: RLweSample, kernels_i, barai, params: SchemeParams) -> RLw
     """accum += BK_i (*) [(X^bara_i - 1) * accum]  (bootstrap.jl:19-23)."""
     rotated = mul_by_monomial(accum, barai)
     temp = RLweSample(rotated.a - accum.a)
-    gsw = PackedTGsw(kernels_i, params.rlwe_bits, params.rlwe_mask_size,
-                     getattr(params, "bk_drop_limbs", 0))
+    # conv kernels are packed full-limb (bootstrap_keygen/rebuild_bk_forms);
+    # the body's rounded low bytes are zero, so no limb_offset here
+    gsw = PackedTGsw(kernels_i, params.rlwe_bits, params.rlwe_mask_size, 0)
     delta = tgsw_extern_mul(temp, gsw, params.tgsw)
     return RLweSample(accum.a + delta.a)
 

@@ -104,18 +104,18 @@ class SchemeParams:
     ks_noise_stddev: float
 
     max_parties: int = 1
-    # TPU knob: dropped low kernel bytes in the packed bootstrapping key
-    # (BK compression). With bk_mask_quantum_bits set the drop is applied to
-    # the BODY only and is lossless on the stored key (the body is rounded at
-    # keygen; extra noise ~2^(8*drop)/sqrt(12) per coefficient, unamplified).
-    # Without quantization, dropped MASK bytes get amplified by the secret
-    # key at phase time (x~sqrt(N/2) stddev) — measured, avoid. 0 = exact.
+    # TPU knob: dropped low BODY bytes in the F-block bootstrapping key
+    # (BK compression). Sound: the body is rounded at keygen (a
+    # deterministic post-hoc degradation of a full-entropy sample; extra
+    # noise ~2^(8*drop)/sqrt(12) per coefficient, unamplified). MASK limbs
+    # are never dropped (ops/fblock.default_cols). 0 = exact.
     bk_drop_limbs: int = 0
-    # TPU knob: quantize BK mask polys to multiples of 2^mq at keygen, BEFORE
-    # the body is computed: the F-block key then drops mq/8 mask limbs
-    # losslessly. Security strictly improves (same absolute noise on a
-    # smaller effective modulus). Must divide the smallest gadget value:
-    # mq <= 32 - l*log2B. 0 = off.
+    # WITHDRAWN (r5): quantized-mask BK generation. With the shipped noise
+    # (2^-25) far below any useful mask grid, rounding published bodies to
+    # the grid cancels the noise exactly and the key falls to linear
+    # algebra mod 2 — full key recovery from two BK samples, demonstrated
+    # in tests/test_quantized_mask_attack.py. The field remains only so
+    # that test can build a vulnerable key; keygen asserts it is 0.
     bk_mask_quantum_bits: int = 0
 
     @property
@@ -163,48 +163,49 @@ def tfhe_parameters_128(rlwe_mask_size: int = 1) -> SchemeParams:
 def tfhe_parameters_128_tpu() -> SchemeParams:
     """The 128-bit CGGI set tuned for TPU throughput: identical crypto
     parameters to tfhe_parameters_128 — the reference's own l=3/Bg=2^7 gadget
-    (api.jl:100-115) — with the bootstrapping key's lowest body byte
-    truncated (added noise stddev ~2^-17 per external product, an order of
-    magnitude under the decomposition noise floor) and the mask quantized to
-    2^11 multiples at keygen, which makes the dropped mask byte exactly zero
-    (LOSSLESS; security strictly improves). 2^11 is the LARGEST lossless
-    mask quantum here: gadget bumps m*g_i land on mask polys of the
-    mask-decomposition rows, so the quantum must divide the smallest gadget
-    value 2^(32-l*Bg) = 2^11 (tgsw.tgsw_encrypt) — unlike the l=2/Bg=2^8
-    fast set, a 2-byte mask cut is unreachable, and the set keeps
-    R*cols = 6*6 MAC units per CMux step vs the fast set's 4*5. That 1.8x
-    is the reference gadget's intrinsic cost on an MXU-bound kernel; see
-    the roofline note in docs/MANUAL.md."""
+    (api.jl:100-115) — with the bootstrapping key's lowest BODY byte rounded
+    away at keygen (sound: a deterministic post-hoc rounding of a
+    full-entropy sample, extra noise ~2^-25/sqrt(12) per coefficient, at the
+    BK noise floor). The mask keeps all four limbs: r4's quantized-mask
+    variant (mask on a 2^11 grid) was withdrawn in r5 after an in-repo
+    break — sub-grid noise lets an attacker round published bodies to the
+    mask grid and recover the key by linear algebra mod 2
+    (tests/test_quantized_mask_attack.py). F-block cost: R*cols = 6*7 MAC
+    units per CMux step; see the roofline note in docs/MANUAL.md."""
     return SchemeParams(
         630, 1 / 2**15,
         1024, 1, 32,
         3, 7, 1 / 2**25,
         8, 2, 1 / 2**15,
         bk_drop_limbs=1,
-        bk_mask_quantum_bits=11,
     )
 
 
 def tfhe_parameters_128_tpu_fast() -> SchemeParams:
-    """128-bit CGGI set with an MXU-optimal gadget and a quantized BK:
-    l=2, Bg=2^8, mask quantum 2^16, body rounded to 2^8.
+    """128-bit module-LWE CGGI set with an MXU-optimal shape: k=2, N=512,
+    l=2, Bg=2^8, body rounded to 2^8 (sound, see tfhe_parameters_128_tpu).
 
-    Security is set by (n, sigma, N) — unchanged from tfhe_parameters_128
-    (the mask quantization strictly hardens the BK's RLWE instance). The
-    l=2/Bg=2^8 gadget cuts the contraction to R=4 byte-exact digit rows and
-    the quantized key needs only 5 kernel limb-columns (mask 2 + body 3)
-    instead of 8 — 20/36 of the l=3 drop-free MAC count per CMux step.
-    Measured bootstrap phase noise stddev ~0.004 against the 1/16 chain
-    decision bound (>15 sigma; bench decrypt-checks every gate). Reference
+    The RLWE layer moves from (k=1, N=1024) to module rank 2 at N=512 —
+    the SAME total lattice dimension k*N = 1024 and the same noise 2^-25,
+    under the standard module-LWE assumption (Kyber-style; the extracted
+    LWE size k*N and the keyswitch are unchanged). Why it is fast on the
+    MXU: per CMux step the contraction costs (N*R)*(cols*N) MACs with
+    R = l*(k+1) and cols = (k+1) limb-columns-ish, i.e. proportional to
+    (k*N)^2 * l * ((k+1)/k)^2 — the module split k=1 -> 2 cuts the
+    schoolbook-negacyclic MAC count by (4/2.25) = 1.78x at equal security.
+    Columns: 2 masks * 4 limbs + body * 3 limbs = 11; R = 6; per-step MAC
+    units 11*6 at N=512 vs the sound l=3 set's 7*6 at N=1024 = 2.4x fewer.
+
+    Replaces r5-withdrawn quantized-mask variant (whose 5-column key was
+    faster but insecure — tests/test_quantized_mask_attack.py). Reference
     parameter style: 3-gen-mk-tfhe/src/api.jl:76-115.
     """
     return SchemeParams(
         630, 1 / 2**15,
-        1024, 1, 32,
+        512, 2, 32,
         2, 8, 1 / 2**25,
         8, 2, 1 / 2**15,
         bk_drop_limbs=1,
-        bk_mask_quantum_bits=16,
     )
 
 

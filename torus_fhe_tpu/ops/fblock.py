@@ -50,11 +50,20 @@ class FBlockGeometry(NamedTuple):
 
 def default_cols(mask_size: int, bits: int, drop_limbs: int,
                  mask_quantum_bits: int = 0) -> Tuple[Tuple[int, int], ...]:
-    """Kernel limb columns. Body (poly k) keeps limbs [drop_limbs:]; mask
-    polys keep limbs [mask_quantum_bits/8:] when quantized (lossless — the
-    dropped mask bytes are exactly zero), else [drop_limbs:] like the body."""
+    """Kernel limb columns. Body (poly k) keeps limbs [drop_limbs:] — sound:
+    the body is ROUNDED at keygen so the dropped bytes are exactly zero and
+    the rounding is ordinary post-hoc noise on a full-entropy sample. Mask
+    polys ALWAYS keep every limb unless ``mask_quantum_bits`` is set.
+
+    SECURITY WARNING (r5): quantized-mask keys (mask_quantum_bits > 0) are
+    BROKEN when the encryption noise is below the mask grid — rounding each
+    published body to the grid cancels the noise exactly and the secret key
+    falls to linear algebra mod 2 (demonstrated end-to-end in
+    tests/test_quantized_mask_attack.py: full key recovery from TWO
+    published BK samples). No shipped parameter set uses it; the knob
+    remains only so the attack test can construct a vulnerable key."""
     nl = poly.n_limbs_for(bits)
-    mask_start = (mask_quantum_bits // 8) if mask_quantum_bits else drop_limbs
+    mask_start = (mask_quantum_bits // 8) if mask_quantum_bits else 0
     cols = []
     for j in range(mask_size):
         cols += [(j, 8 * m) for m in range(mask_start, nl)]

@@ -103,10 +103,18 @@ def summarize_trace(logdir: str, top: int = 15) -> dict:
                                           "XLAEigen"))
                         and "Module" not in nm and "Step" not in nm):
                     op_tids.setdefault(ev.get("pid"), set()).add(ev.get("tid"))
+        # when any plane exposes true op lanes (TPU 'XLA Ops' / CPU Eigen
+        # workers), count ONLY those — a pid with no op lane (e.g. the
+        # '/host:CPU' python lane next to a TPU plane) would otherwise leak
+        # host wall-time spans into the device total
+        have_op_lanes = any(op_tids.get(p) for p in dev_pids)
         for ev in events:
             if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
                 tids = op_tids.get(ev.get("pid"))
-                if tids is not None and ev.get("tid") not in tids:
+                if tids is None:
+                    if have_op_lanes:
+                        continue
+                elif ev.get("tid") not in tids:
                     continue  # an enclosing Modules/Steps span, not an op
                 op_us[ev.get("name", "?")] += float(ev.get("dur", 0.0))
     total = sum(op_us.values())
