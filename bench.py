@@ -122,6 +122,10 @@ def main() -> None:
     log("chain compile start")
     outc = chain_j(ck, cx, cy)
     outc.b.block_until_ready()
+    # warm the fetch program too: through the tunnel even a tiny reduce_sum
+    # compile costs seconds and sub-1s compiles skip the persistent cache —
+    # timing it would understate the chain rate ~4x (seen in r5)
+    _ = float(jnp.sum(outc.b))
     log("chain compiled; timing")
     t0 = time.time()
     outc = chain_j(ck, cx, cy)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple, Sequence
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,14 @@ from ..utils.device import on_host, to_device
 from .ccs import (_gadget_contract, _pack_l_to_1, gen_shared_key,
                   mk_keyswitch, mk_rlwe_extract_sample)
 from .samples import MKLweSample, mk_lwe_noiseless_trivial
+
+
+def _stream_chunk() -> int:
+    """Step-chunk size for the streamed gsw F-block scans. The default (8)
+    wedged the XLA:TPU AOT compiler at the 4-party registry set in r4
+    (4 attempts, R4_RESULTS) — the TORUS_KMS_STREAM_CHUNK env knob lets the
+    perf harness retry with a different chunk geometry without a code edit."""
+    return int(os.environ.get("TORUS_KMS_STREAM_CHUNK", "8"))
 
 
 class KMSSecretKey(NamedTuple):
@@ -275,7 +285,7 @@ def _lev_blind_rotate(ck: KMSCloudKey, party: int, bara_p, B: int):
             jnp.broadcast_to(bara_p[:, None], (B, llev, n)).reshape(
                 B * llev, n),
             geom, gp.decomp_length, gp.log2_base, gp.offset,
-            chunk=8, use_pallas=False)
+            chunk=_stream_chunk(), use_pallas=False)
         return acc.reshape(B, llev, 2, N)
 
     kernels = ck.gsw_kern[party * n:(party + 1) * n]
@@ -356,7 +366,7 @@ def kms_blind_rotate(acc, ck: KMSCloudKey, bara, fast_boot: bool = True):
             gp = params.tgsw
             sacc = fblock.blind_rotate_streamed(
                 sacc, ck.gsw_sel[:n], bara[:, 0], geom, gp.decomp_length,
-                gp.log2_base, gp.offset, chunk=8, use_pallas=False)
+                gp.log2_base, gp.offset, chunk=_stream_chunk(), use_pallas=False)
         else:
             kernels = ck.gsw_kern[:n]
             bara_steps = jnp.swapaxes(bara[:, 0], 0, 1)
