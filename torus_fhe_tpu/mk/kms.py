@@ -243,19 +243,25 @@ def tlev_extern_mul(c, lev, params: SchemeParamsKMS):
     digits = poly.decompose(c, levp.decomp_length, levp.log2_base, levp.bits,
                             levp.offset)  # (B, S, l, N)
     blocks = poly.digits_to_i8_rows(digits, levp.log2_base)
-    # runtime kernels: (B, l, 2, N) -> packed (B, 2*L, l, N), broadcast over S
+    Lb = len(blocks)
+    # ALL digit-row groups that share an element's runtime kernel — the S
+    # accumulator polys x Lb digit limb-blocks — ride the conv's M dim in
+    # ONE contraction per element (M = S*Lb instead of Lb passes at M = 1;
+    # the relin phase was ~98% of the KMS gate in the M=1 form)
+    rows = jnp.stack(blocks, axis=1)  # (B, Lb, S, l, N) int8
+    rows = rows.reshape(B, Lb * S, levp.decomp_length, N)
+    # runtime kernels: (B, l, 2, N) -> packed (B, 2*L, l, N)
     packed = poly.pack_kernels_traced(lev, levp.bits)
-    packed = jnp.broadcast_to(packed[:, None], (B, S) + packed.shape[1:])
-    packed = packed.reshape((B * S,) + packed.shape[2:])
-    total = None
-    for m, blk in enumerate(blocks):
-        rows = blk.reshape(B * S, -1, N)  # (B*S, l, N)
-        prod = poly.negacyclic_extern_product_batched_kernels(
-            rows, packed, levp.bits, 2)  # (B*S, 2, N)
-        prod = prod.reshape(B, S, 2, N)
-        if m:
-            prod = prod << (8 * m)
-        total = prod if total is None else total + prod
+    folded = poly.negacyclic_extern_product_batched_kernels_multirow(
+        rows, packed, levp.bits)  # (B, Lb*S, 2*L, N) int32
+    L = poly.n_limbs_for(levp.bits)
+    folded = folded.reshape(B, Lb, S, 2, L, N)
+    dtype = jnp.int32 if levp.bits <= 32 else jnp.int64
+    total = jnp.zeros((B, S, 2, N), dtype)
+    for m in range(Lb):          # digit limb-block shift
+        for j in range(L):       # kernel limb shift
+            total = total + (folded[:, m, :, :, j].astype(dtype)
+                             << (8 * (m + j)))
     return total
 
 
