@@ -225,10 +225,21 @@ def run_mk_pipeline(key, params, parties: int, csv_path: str, k: int = 5,
     prediction per test row, multikey decryption + accuracy tally
     (KNN_medical_data.cpp:738-748), and the threshold-decryption tail on the
     final decision bit (:750 → :531-572)."""
-    from ..mk.keys3gen import mk_cloud_keygen, mk_party_keygen
+    from ..mk.keys3gen import (mk_cloud_keygen, mk_fb_geometry,
+                               mk_fb_stream_supported, mk_party_keygen)
 
     if forms is None:
-        forms = ("fblock",) if mk_fb_supported(params) else ("conv",)
+        # size-aware fast-form pick (mirrors benchmarks/perf_comp.py): the
+        # expanded F-block at >=4-party registry sets exceeds HBM (25.7 GB
+        # at 4 parties) — use the streamed compact key there
+        if mk_fb_supported(params):
+            g = mk_fb_geometry(params, parties)
+            fb_bytes = g.n * g.D * g.R * g.bs * len(g.cols) * g.bs
+            forms = ("fblock",) if fb_bytes <= 10 * 2**30 else ("fbstream",)
+        elif mk_fb_stream_supported(params):
+            forms = ("fbstream",)  # wide-digit gadget: exact 64-bit streamed
+        else:
+            forms = ("conv",)
     sks = [mk_party_keygen(jax.random.fold_in(key, 100 + p), params)
            for p in range(parties)]
     ck = mk_cloud_keygen(jax.random.fold_in(key, 7), sks, params, forms=forms)
