@@ -240,7 +240,12 @@ def main():
             print(f"# row: p={parties} {name} min={row[2]:.4f}s "
                   f"{row[4]:.1f} gates/s ok={ok}", file=sys.stderr, flush=True)
 
-    size = "registry(real)" if args.real else f"n={args.n} N={args.N}"
+    if args.fixed_set is not None:
+        size = f"fixed-set mk_{args.fixed_set}party (reference protocol)"
+    elif args.real:
+        size = "registry(real)"
+    else:
+        size = f"n={args.n} N={args.N}"
     print(f"# device={jax.devices()[0]} batch={B} {size}")
     print(f"{'parties':>7s} {'scheme':>8s} {'min_s':>9s} {'median_s':>9s} "
           f"{'gates/s':>10s} {'correct':>7s}")
