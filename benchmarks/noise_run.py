@@ -30,8 +30,9 @@ def main() -> int:
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
-        # the 64-bit-torus MK sets need real int64 (TPU runs are 32-bit only)
-        jax.config.update("jax_enable_x64", True)
+    # the 64-bit-torus MK sets need real int64; XLA:TPU supports s64 (the
+    # hot rotate rides the int32-limb streamed form either way)
+    jax.config.update("jax_enable_x64", True)
 
     import os
 
@@ -52,9 +53,20 @@ def main() -> int:
                   else "ccs" if isinstance(params, SchemeParamsCCS)
                   else "kms")
         fast = None if "--exact" not in sys.argv else False
+        cache = None
+        if "--cache" in sys.argv and scheme == "3gen":
+            cdir = os.path.join(here, ".cache", "keys")
+            os.makedirs(cdir, exist_ok=True)
+            cache = os.path.join(cdir, f"noise_{name}.npz")
         rep = noise.measure_multikey(jax.random.PRNGKey(0), params,
                                      params.max_parties, trials=trials,
-                                     scheme=scheme, fast_form=fast)
+                                     scheme=scheme, fast_form=fast,
+                                     cache_path=cache,
+                                     keygen_only="--keygen-only" in sys.argv)
+        if rep is None:
+            print(f"# keygen-only: cloud key cached at {cache} "
+                  f"[{time.time() - t0:.0f}s]")
+            return 0
     else:
         rep = noise.measure_single_key(jax.random.PRNGKey(0), params,
                                        trials=trials)

@@ -219,12 +219,17 @@ def run_mk_pipeline(key, params, parties: int, csv_path: str, k: int = 5,
                     width: int = 8, train_rows: int = 5, test_rows: int = 1,
                     feature_cols=None, scale_shift: int = 0,
                     forms=None, threshold_tail: bool = True,
-                    progress=None, batch_tests: bool = True) -> dict:
+                    progress=None, batch_tests: bool | None = None) -> dict:
     """k-party encrypted-KNN E2E (BASELINE configs[4]): per-party keygen,
     multikey cloud keygen, multikey encryption of the cardio rows, encrypted
     prediction per test row, multikey decryption + accuracy tally
     (KNN_medical_data.cpp:738-748), and the threshold-decryption tail on the
-    final decision bit (:750 → :531-572)."""
+    final decision bit (:750 → :531-572).
+
+    ``batch_tests=None`` auto-picks per backend: the batched test-row axis
+    amortises circuit depth but its fused programs have exceeded the XLA:TPU
+    128M vmem budget at production widths (B≈7680), so on TPU the verified
+    per-row mode is the default; CPU keeps the batched axis."""
     from ..mk.keys3gen import (mk_cloud_keygen, mk_fb_geometry,
                                mk_fb_stream_supported, mk_party_keygen)
 
@@ -253,6 +258,8 @@ def run_mk_pipeline(key, params, parties: int, csv_path: str, k: int = 5,
                                      tr_f, tr_l, width, params)
 
     predictions, tails = [], []
+    if batch_tests is None:
+        batch_tests = jax.devices()[0].platform not in ("tpu", "axon")
     if batch_tests:
         # all test rows ride the circuit as ONE extra batch axis: every gate
         # bootstrap carries T x (rows x cols x bits) gates, amortising the

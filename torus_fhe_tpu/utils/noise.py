@@ -169,14 +169,21 @@ def measure_single_key(key, params, trials: int = 1000) -> NoiseReport:
 
 def measure_multikey(key, params, parties: int, trials: int = 1000,
                      scheme: str = "3gen",
-                     fast_form: bool | None = None) -> NoiseReport:
+                     fast_form: bool | None = None,
+                     cache_path: str | None = None,
+                     keygen_only: bool = False) -> NoiseReport | None:
     """Multikey harness for all three schemes (measurements_us_simplified_* /
     CCS & KMS suites: fresh + bootstrapped noise, the two wrong-decryption
     classes, BK/KSK sizes, timings). ``scheme``: "3gen" | "ccs" | "kms".
 
     ``fast_form``: for 3gen, measure the hi-word F-block fast path (includes
     its BK-rounding noise — the shipped TPU configuration) instead of the
-    exact 64-bit scan; default: fast when the set supports it."""
+    exact 64-bit scan; default: fast when the set supports it.
+
+    ``cache_path`` (3gen only): serialize round-trip for the cloud key, so
+    the tens-of-minutes host keygen at production >=16-party sets can run
+    once on CPU (``keygen_only=True``) and the trial batch on TPU loads it.
+    Party secret keys are cheap and rebuilt deterministically from ``key``."""
     from ..mk.samples import mk_encrypt, mk_lwe_phase
 
     if scheme == "3gen":
@@ -204,8 +211,22 @@ def measure_multikey(key, params, parties: int, trials: int = 1000,
             forms = ("conv",)
         sks = [mk.mk_party_keygen(jax.random.fold_in(key, 100 + p), params)
                for p in range(parties)]
-        ck = mk.mk_cloud_keygen(
-            jax.random.fold_in(key, 7), sks, params, forms=forms)
+        ck = None
+        if cache_path is not None:
+            import os as _os
+
+            from . import serialize as _ser
+
+            if _os.path.exists(cache_path):
+                ck = _ser.load_mk_cloud_key(cache_path, forms=forms)
+        if ck is None:
+            ck = mk.mk_cloud_keygen(
+                jax.random.fold_in(key, 7), sks, params, forms=forms,
+                keep_samples=cache_path is not None)
+            if cache_path is not None:
+                _ser.save_mk_cloud_key(cache_path, ck)
+        if keygen_only:
+            return None
         lwe_keys = [sk.lwe for sk in sks]
         gate = lambda a, b: gates3gen.mk_gate_and(ck, a, b)
         bk_bytes = next(a for a in (ck.bk_kernels, ck.bk_fb, ck.bk_fb_sel)
