@@ -83,6 +83,11 @@ def main():
                          "(perf_comp.jl:103-143)")
     ap.add_argument("--no-fblock", action="store_true",
                     help="force the conv scan for 3gen too")
+    ap.add_argument("--kms-split", action="store_true",
+                    help="dispatch the KMS gate as one program per bootstrap "
+                         "phase (mk_gate_nand_split) — the workaround for "
+                         "registry sets whose fused program crashes the "
+                         "XLA:TPU AOT compile service (>=4-party wedge)")
     ap.add_argument("--keygen-only", action="store_true",
                     help="build + cache the cloud keys, skip the timing run "
                          "(host keygens are the long pole: run them on CPU "
@@ -212,10 +217,15 @@ def main():
                 lambda: mkms.kms_cloud_keygen(jax.random.PRNGKey(29), sks, pk_,
                                               forms=kms_forms),
                 _ser.save_kms_cloud_key, _ser.load_kms_cloud_key)
-            gate = functools.partial(
-                jax.jit(lambda _ck, x, y: mkms.mk_gate_nand(_ck, x, y)), ck)
-            setups["kms-fb" if kms_forms == ("fb",) else "kms"] = (
-                pk_, [s.lwe for s in sks], gate)
+            if args.kms_split:
+                gate = functools.partial(mkms.mk_gate_nand_split, ck)
+                name = "kms-fbsplit"
+            else:
+                gate = functools.partial(
+                    jax.jit(lambda _ck, x, y: mkms.mk_gate_nand(_ck, x, y)),
+                    ck)
+                name = "kms-fb" if kms_forms == ("fb",) else "kms"
+            setups[name] = (pk_, [s.lwe for s in sks], gate)
 
         if args.keygen_only:
             print(f"# keygen-only: p={parties} keys cached for "

@@ -82,3 +82,32 @@ def test_kms_fb_backend_bit_exact(kms_setup, fast_boot):
     np.testing.assert_array_equal(np.asarray(out_fb.b), np.asarray(out_conv.b))
     dec = np.asarray(mk_decrypt(lwe_keys, out_fb))
     np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))
+
+
+def test_split_gate_bit_exact(kms_setup):
+    """The split-phase dispatch (one program per bootstrap phase — the
+    workaround for registry sets whose fused gate crashes the AOT compiler)
+    is BIT-IDENTICAL to the fused fast-boot gate on the same F-block key,
+    at 4 parties so the shared traced-party-index step program covers
+    parties 1..3 through one trace."""
+    parties = 4
+    params = _params_kms(parties=parties, n=16, N=64)
+    key = jax.random.PRNGKey(31)
+    ks = jax.random.split(key, parties)
+    sks = [kms.kms_party_keygen(ks[p], params) for p in range(parties)]
+    ck = kms.kms_cloud_keygen(jax.random.fold_in(key, 99), sks, params,
+                              forms=("fb",))
+    assert ck.gsw_sel is not None
+    lwe_keys = [s.lwe for s in sks]
+    xs = jnp.asarray([False, False, True, True])
+    ys = jnp.asarray([False, True, False, True])
+    cx = mk_encrypt(jax.random.PRNGKey(11), lwe_keys, xs, params)
+    cy = mk_encrypt(jax.random.PRNGKey(12), lwe_keys, ys, params)
+    out_fused = kms.mk_gate_nand(ck, cx, cy)
+    out_split = kms.mk_gate_nand_split(ck, cx, cy)
+    np.testing.assert_array_equal(np.asarray(out_fused.a),
+                                  np.asarray(out_split.a))
+    np.testing.assert_array_equal(np.asarray(out_fused.b),
+                                  np.asarray(out_split.b))
+    dec = np.asarray(mk_decrypt(lwe_keys, out_split))
+    np.testing.assert_array_equal(dec, ~(np.asarray(xs) & np.asarray(ys)))

@@ -24,6 +24,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import NamedTuple, Sequence
 
@@ -265,6 +266,27 @@ def tlev_extern_mul(c, lev, params: SchemeParamsKMS):
     return total
 
 
+def _lev_rotate_streamed(gsw_part, bara_p, B: int, params: SchemeParamsKMS,
+                         chunk: int):
+    """Streamed-F-block TLev partial bootstrap from an explicit per-party key
+    slice (so the split-dispatch path can trace it with the slice as a plain
+    argument)."""
+    from ..ops import fblock
+
+    n = params.lwe_size
+    llev = params.tlev.decomp_length
+    N = params.rlwe_polynomial_degree
+    lev = tlev_trivial_one(B, params)  # (B, l_lev, 2, N)
+    geom = kms_fb_geometry(params, n)
+    gp = params.tgsw
+    acc = fblock.blind_rotate_streamed(
+        lev.reshape(B * llev, 2, N), gsw_part,
+        jnp.broadcast_to(bara_p[:, None], (B, llev, n)).reshape(B * llev, n),
+        geom, gp.decomp_length, gp.log2_base, gp.offset,
+        chunk=chunk, use_pallas=False)
+    return acc.reshape(B, llev, 2, N)
+
+
 def _lev_blind_rotate(ck: KMSCloudKey, party: int, bara_p, B: int):
     """Per-party TLev partial bootstrap (mk_ith_blind_rotate,
     new_mk_internals.jl:210-223): a single-key CMux scan over the party's n
@@ -282,17 +304,8 @@ def _lev_blind_rotate(ck: KMSCloudKey, party: int, bara_p, B: int):
     if ck.gsw_sel is not None:
         # F-block fast backend: streamed chunk expansion + circulant matmuls,
         # the TLev rows folded into the batch axis
-        from ..ops import fblock
-
-        geom = kms_fb_geometry(params, n)
-        gp = params.tgsw
-        acc = fblock.blind_rotate_streamed(
-            lev.reshape(B * llev, 2, N), ck.gsw_sel[party * n:(party + 1) * n],
-            jnp.broadcast_to(bara_p[:, None], (B, llev, n)).reshape(
-                B * llev, n),
-            geom, gp.decomp_length, gp.log2_base, gp.offset,
-            chunk=_stream_chunk(), use_pallas=False)
-        return acc.reshape(B, llev, 2, N)
+        return _lev_rotate_streamed(ck.gsw_sel[party * n:(party + 1) * n],
+                                    bara_p, B, params, _stream_chunk())
 
     kernels = ck.gsw_kern[party * n:(party + 1) * n]
     bara_steps = jnp.swapaxes(bara_p, 0, 1)  # (n, B)
@@ -395,6 +408,140 @@ def kms_blind_rotate(acc, ck: KMSCloudKey, bara, fast_boot: bool = True):
         lev = _lev_blind_rotate(ck, p, bara[:, p], B)
         acc = _lev_rlwe_mul(acc, lev, ck, p)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Split-phase dispatch: one compiled program PER BOOTSTRAP PHASE
+# ---------------------------------------------------------------------------
+# The monolithic jitted KMS gate at >=4-party registry sets (uni l>=5 + gsw
+# streamed at N=2048) crashes the XLA:TPU AOT compile service
+# ("tpu_compile_helper subprocess exit code 1" — r4: 4 attempts, r5: retried
+# post relin-rework, same crash). The per-phase programs each compile fine
+# (benchmarks/kms_compile_bisect.py), so this path dispatches the gate as
+# P + 2 cached programs: pre (mod-switch + test vector), the fast-boot
+# single-key rotate + uni entry, one SHARED party step (the party index and
+# the party's key slices are traced arguments, so 16 parties reuse ONE
+# program), and extract + keyswitch. Numerics are bit-identical to
+# kms_blind_rotate (tests/test_kms.py::test_split_gate_bit_exact).
+
+
+def _uni_product_dyn(x, d_p, f0_p, f1_p, pk_kern, sk_kern, party, uni):
+    """uni_product_new with the party's kernels passed as traced arguments
+    and a traced party index (scatter-add instead of a static .at index)."""
+    P = x.shape[1] - 1
+    u = _gadget_contract(x, d_p, uni)
+    v = None
+    for p in range(P):
+        t = _gadget_contract(x[:, p], pk_kern[p], uni)
+        v = t if v is None else v + t
+    v = v - _gadget_contract(x[:, P], sk_kern, uni)
+    w0 = _gadget_contract(v, f0_p, uni)
+    w1 = _gadget_contract(v, f1_p, uni)
+    out = u.at[:, party].add(w1)
+    return out.at[:, P].add(w0)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_split_pre(mu_int: int, params: SchemeParamsKMS):
+    def impl(xa, xb):
+        N = params.rlwe_polynomial_degree
+        n = params.lwe_size
+        P = xa.shape[-2]
+        B = int(np.prod(xb.shape)) if xb.shape else 1
+        bara = decode_message(xa, 2 * N).astype(jnp.int32).reshape(B, P, n)
+        barb = decode_message(xb, 2 * N).astype(jnp.int32).reshape(B)
+        dtype = jnp.int32 if params.rlwe_bits == 32 else jnp.int64
+        testvect = jnp.full((N,), mu_int, dtype)
+        body = poly.mul_by_monomial(jnp.broadcast_to(testvect, (B, N)), -barb)
+        acc = jnp.concatenate([jnp.zeros((B, P, N), dtype), body[:, None]],
+                              axis=1)
+        return acc, bara
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_split_gsw(params: SchemeParamsKMS, chunk: int):
+    def impl(acc, gsw_part, bara0, d0, f00, f10, pk_kern, sk_kern):
+        from ..ops import fblock
+
+        B, P1, N = acc.shape
+        P = P1 - 1
+        gp = params.tgsw
+        geom = kms_fb_geometry(params, params.lwe_size)
+        tv = acc[:, P]
+        sacc = jnp.concatenate(
+            [jnp.zeros((B, 1, N), acc.dtype), tv[:, None]], axis=1)
+        sacc = fblock.blind_rotate_streamed(
+            sacc, gsw_part, bara0, geom, gp.decomp_length, gp.log2_base,
+            gp.offset, chunk=chunk, use_pallas=False)
+        zeros = jnp.zeros((B, P, N), acc.dtype)
+        e = jnp.concatenate([zeros, sacc[:, 0][:, None]], axis=1)
+        f = jnp.concatenate([zeros, sacc[:, 1][:, None]], axis=1)
+        return f - _uni_product_dyn(e, d0, f00, f10, pk_kern, sk_kern,
+                                    jnp.int32(0), params.uni)
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_split_party(params: SchemeParamsKMS, chunk: int):
+    def impl(acc, gsw_part, bara_p, d_p, f0_p, f1_p, pk_kern, sk_kern,
+             party):
+        B = acc.shape[0]
+        lev = _lev_rotate_streamed(gsw_part, bara_p, B, params, chunk)
+        ef = tlev_extern_mul(acc, lev, params)  # (B, P+1, 2, N)
+        e = ef[..., 0, :]
+        f = ef[..., 1, :]
+        return f - _uni_product_dyn(e, d_p, f0_p, f1_p, pk_kern, sk_kern,
+                                    party, params.uni)
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_split_post(params: SchemeParamsKMS):
+    def impl(acc, ks_mats):
+        u = mk_rlwe_extract_sample(acc)
+        return mk_keyswitch(ks_mats, params.ks, params.lwe_size, u)
+
+    return jax.jit(impl)
+
+
+def mk_bootstrap_split(ck: KMSCloudKey, mu, x: MKLweSample) -> MKLweSample:
+    """Phase-split KMS bootstrap (fast-boot v2 semantics, F-block form only):
+    bit-identical to ``mk_bootstrap(ck, mu, x, fast_boot=True)`` but each
+    phase runs as its own cached program — the workaround for parameter sets
+    whose fused gate program crashes the AOT compiler."""
+    assert ck.gsw_sel is not None, \
+        "split dispatch needs the F-block (gsw_sel) cloud-key form"
+    params = ck.params
+    P = ck.parties
+    n = params.lwe_size
+    chunk = _stream_chunk()
+    lead = x.b.shape
+    acc, bara = _jit_split_pre(int(mu), params)(x.a, x.b)
+    acc = _jit_split_gsw(params, chunk)(
+        acc, ck.gsw_sel[:n], bara[:, 0], ck.d_kern[0], ck.f0_kern[0],
+        ck.f1_kern[0], ck.pk_kern, ck.sk_kern)
+    step = _jit_split_party(params, chunk)
+    for p in range(1, P):
+        acc = step(acc, ck.gsw_sel[p * n:(p + 1) * n], bara[:, p],
+                   ck.d_kern[p], ck.f0_kern[p], ck.f1_kern[p], ck.pk_kern,
+                   ck.sk_kern, jnp.int32(p))
+    out = _jit_split_post(params)(acc, ck.ks_mats)
+    return MKLweSample(out.a.reshape(lead + out.a.shape[-2:]),
+                       out.b.reshape(lead))
+
+
+def mk_gate_nand_split(ck: KMSCloudKey, x: MKLweSample,
+                       y: MKLweSample) -> MKLweSample:
+    """KMS NAND through the split-phase dispatch (new_mk_gates.jl:7-15
+    semantics, fast_boot=True)."""
+    mu32 = encode_message(1, 8)
+    temp = mk_lwe_noiseless_trivial(mu32, ck.params.lwe, ck.parties,
+                                    x.b.shape) - x - y
+    return mk_bootstrap_split(ck, 1 << 61, temp)
 
 
 # ---------------------------------------------------------------------------
