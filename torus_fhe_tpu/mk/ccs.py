@@ -338,7 +338,18 @@ def _fb_contract_polys(x, fstep, geom, gp: TGswParams):
     return out.reshape(B, K, N)
 
 
-def ccs_blind_rotate_fb(acc, ck: CCSCloudKey, bara, chunk: int = 32):
+def _ccs_stream_chunk() -> int:
+    """Step-chunk size for the F-block CMux chain. The deeper >=8-party
+    gadgets (l=5 at 8p, l=12 at 16p) multiply the per-chunk expanded-key
+    volume; TORUS_CCS_STREAM_CHUNK lets the perf harness shrink the chunk
+    when the fused chunk body trips device limits (kms._stream_chunk
+    pattern)."""
+    import os
+
+    return int(os.environ.get("TORUS_CCS_STREAM_CHUNK", "32"))
+
+
+def ccs_blind_rotate_fb(acc, ck: CCSCloudKey, bara, chunk: int | None = None):
     """The CCS CMux chain on the F-block backend: per step-chunk, the compact
     d1/f0/f1 lines expand on device (ops/fblock.expand_fblock_chunk) and every
     gadget contraction of UniProduct_old (mk_internals.jl:477-536) runs as
@@ -347,6 +358,8 @@ def ccs_blind_rotate_fb(acc, ck: CCSCloudKey, bara, chunk: int = 32):
     """
     from ..ops import fblock
 
+    if chunk is None:
+        chunk = _ccs_stream_chunk()
     params = ck.params
     gp = params.tgsw
     geom = ccs_fb_geometry(params, ck.parties)
